@@ -1,0 +1,186 @@
+"""Canonicalization: connected-components closure of the reference's
+conflict-merge (A5), run as iterative DataFrame self-joins.
+
+The reference merges two canonical agents when an upsert collides on the
+`nameControlled` unique index (`mergeAgentOnNameConflict`,
+/root/reference/lib/utils.js:274-323): viaf arrays are unioned (tracking
+`viafMerged`), fast/nameNormalized/altForms unioned, scalars kept from
+the existing row and back-filled from the new one, and a `mergeSource`
+lineage entry appended (:290-297). Because it happens upsert-by-upsert,
+chains of collisions merge transitively over time.
+
+Order-free equivalent: build a bipartite graph
+`entity —shares-key— merge_key` where merge keys are (a) the normalized
+controlled name (the unique-index collision) and (b) every VIAF id in
+the entity's cluster (two authority clusters sharing an id are the same
+real-world agent — the reference reaches these through VIAF-redirect
+chasing). Connected components give exactly the transitive closure of
+A5, computed as alternating min-label propagation (hash-to-min):
+
+    repeat:  key_label  = min(entity_label)  over each key
+             entity_label = min(key_label)   over each entity
+    until no label changes.
+
+Each iteration is two shuffles on (key, entity); `localCheckpoint()`
+truncates lineage so plans stay O(1) per iteration (SURVEY.md §4.2.2;
+cf. the BTS/large-star-small-star literature in PAPERS.md). Convergence
+takes O(log n) iterations on pathological chains, 1-2 on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serialization_agents_spark.functions.normalize import normalize_name_expr
+
+MAX_CC_ITERATIONS = 25
+
+
+def build_merge_edges(agents: DataFrame) -> DataFrame:
+    """entity -> merge-key bipartite edges (long-hashed both sides)."""
+    name_edges = agents.select(
+        F.col("entity_key"),
+        F.concat(F.lit("name:"), normalize_name_expr(F.col("name_controlled"))).alias(
+            "merge_key"
+        ),
+    )
+    viaf_edges = agents.select(
+        "entity_key", F.explode("viaf").alias("vid")
+    ).select("entity_key", F.concat(F.lit("viaf:"), F.col("vid")).alias("merge_key"))
+    return name_edges.unionByName(viaf_edges).dropDuplicates()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int]:
+    """edges(entity_key, merge_key) -> (labels(entity_key, component), iters).
+
+    `component` is the min xxhash64 over the entity's component — stable
+    across runs and partitionings (never a partition-dependent id).
+    """
+    e = edges.select(
+        "entity_key",
+        F.xxhash64("entity_key").alias("eid"),
+        F.xxhash64("merge_key").alias("kid"),
+    ).localCheckpoint()
+
+    labels = e.select("eid", F.col("eid").alias("label")).dropDuplicates(["eid"])
+
+    iters = 0
+    for _ in range(max_iterations):
+        iters += 1
+        key_label = (
+            e.join(labels, "eid")
+            .groupBy("kid")
+            .agg(F.min("label").alias("klabel"))
+        )
+        new_labels = (
+            e.join(key_label, "kid")
+            .groupBy("eid")
+            .agg(F.min("klabel").alias("new_label"))
+        )
+        merged = labels.join(new_labels, "eid", "left").select(
+            "eid", F.least("label", F.coalesce("new_label", "label")).alias("label"),
+            (F.col("new_label") < F.col("label")).alias("changed"),
+        )
+        merged = merged.localCheckpoint()  # cut lineage growth per iteration
+        n_changed = merged.where(F.col("changed")).count()
+        labels = merged.select("eid", "label")
+        if n_changed == 0:
+            break
+
+    ids = e.select("entity_key", "eid").dropDuplicates(["eid"])
+    return (
+        ids.join(labels, "eid").select("entity_key", F.col("label").alias("component")),
+        iters,
+    )
+
+
+def _argmin_field(prio: F.Column, value: F.Column, name: str) -> F.Column:
+    """min(struct(prio, value)) ignoring rows where value IS NULL — the
+    'existing row wins, new row backfills' scalar rule of
+    /root/reference/lib/utils.js:307-313, made order-free."""
+    return F.min(F.when(value.isNotNull(), F.struct(prio.alias("p"), value.alias("v"))))[
+        "v"
+    ].alias(name)
+
+
+def canonicalize_agents(
+    agents: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int]:
+    """Merge agent rows whose components collide; returns (canonical
+    agents, cc_iterations). Input is `merge_entities` output."""
+    edges = build_merge_edges(agents)
+    labels, iters = connected_components(edges, max_iterations)
+
+    a = agents.join(labels, "entity_key")
+    # Priority inside a component: controlled entities beat noViaf ones,
+    # then lower source_priority, then lexicographic key (determinism).
+    prio = F.struct(
+        F.when(F.col("is_controlled"), 0).otherwise(1).alias("ctl"),
+        F.col("source_priority").alias("sp"),
+        F.col("entity_key").alias("ek"),
+    )
+    a = a.withColumn("prio", prio)
+
+    def arr_union(col: str, cap: int = 256) -> F.Column:
+        return F.slice(
+            F.array_distinct(F.flatten(F.collect_list(col))), 1, cap
+        ).alias(col)
+
+    grouped = a.groupBy("component").agg(
+        F.min("prio")["ek"].alias("entity_key"),
+        _argmin_field(F.col("prio"), F.col("name_controlled"), "name_controlled"),
+        F.max("is_controlled").alias("is_controlled"),
+        _argmin_field(F.col("prio"), F.col("wikidata"), "wikidata"),
+        _argmin_field(F.col("prio"), F.col("lc_id"), "lc_id"),
+        _argmin_field(F.col("prio"), F.col("ulan"), "ulan"),
+        _argmin_field(F.col("prio"), F.col("dbpedia"), "dbpedia"),
+        _argmin_field(F.col("prio"), F.col("birth"), "birth"),
+        _argmin_field(F.col("prio"), F.col("death"), "death"),
+        _argmin_field(F.col("prio"), F.col("type"), "type"),
+        F.min(F.struct(F.col("prio").alias("p"), F.col("viaf").alias("v")))["v"].alias(
+            "canonical_viaf"
+        ),
+        arr_union("viaf"),
+        arr_union("name_normalized"),
+        F.slice(F.array_distinct(F.flatten(F.collect_list("alt_forms"))), 1, 128).alias(
+            "alt_forms"
+        ),
+        arr_union("fast", 64),
+        F.array_sort(F.collect_set("entity_key")).alias("all_keys"),
+        F.sum("mention_count").alias("mention_count"),
+        F.min("source_priority").alias("source_priority"),
+        F.count(F.lit(1)).alias("merged_row_count"),
+    )
+
+    canonical = grouped.select(
+        F.lit(None).cast("long").alias("registry_id"),
+        "entity_key",
+        F.col("viaf"),
+        "is_controlled",
+        "name_controlled",
+        "wikidata",
+        "lc_id",
+        "ulan",
+        "dbpedia",
+        "birth",
+        "death",
+        "type",
+        F.array_sort("name_normalized").alias("name_normalized"),
+        F.array_sort("alt_forms").alias("alt_forms"),
+        F.array_sort("fast").alias("fast"),
+        # viafMerged: ids contributed by non-canonical members
+        # (/root/reference/lib/utils.js:290-297)
+        F.array_sort(F.array_except(F.col("viaf"), F.col("canonical_viaf"))).alias(
+            "viaf_merged"
+        ),
+        F.array_sort(
+            F.filter("all_keys", lambda k: k != F.col("entity_key"))
+        ).alias("merge_source"),
+        "mention_count",
+        "source_priority",
+        "component",
+    )
+    return canonical, iters

@@ -1,0 +1,179 @@
+"""Entity linking: the reference's 4-stage lookup cascade, re-expressed as
+a join pipeline (SURVEY.md §2.3 J1-J6, §3.3).
+
+Reference semantics being reproduced:
+
+1. **Redirect resolution (J6)** — dead/merged VIAF ids are chased through
+   redirects / `mads:useInstead` (/root/reference/lib/viaf.js:11-128,
+   lib/utils.js:86-182). At scale the live HTTP probes become one left
+   join against a static `viaf_redirects` dimension; unresolvable ids
+   produce a `dead_viaf` side-output (the Spark version of the
+   write-back `removeViafFromShadowcatAgent`, lib/utils_shadowcat.js:152-173 —
+   we never mutate the source corpus).
+2. **VIAF join (J1)** — mention.viaf_hint against the authority, keyed by
+   EVERY id in each cluster's `viaf` array (the reference finds on the
+   array field, lib/utils.js:75-77). Broadcast hash join; the reference's
+   per-record memo cache (lib/utils_shadowcat.js:17) is subsumed by the
+   hash table.
+3. **LCNAF join (J2)** — unmatched mentions that carry an LC hint, keyed
+   on `lc_id` (lib/utils.js:196-208). Only for sources that annotate LC
+   URIs; a no-op column here otherwise.
+4. **Name join (J4)** — still-unmatched mentions equi-join the authority
+   on the normalized-name BLOCKING key (exactly the reference's
+   `nameNormalized ==` block, lib/utils.js:44-52), then the per-mention
+   argmax of the string_score fuzzy similarity picks the winner
+   (lib/utils.js:53-61) via a window `row_number() == 1`.
+5. **Blacklist filter (F6)** — junk names dropped by broadcast anti-join
+   (lib/tms_serialize_objects_agents.js:211).
+
+Output: one row per surviving mention with `entity_key`
+(`viaf:<id>` when linked, else `noViaf:<xxhash64(name_norm)>` — the
+deterministic replacement for the reference's `'noViaf'+Date.now()+rand`
+surrogate, lib/utils_archives.js:177) plus the matched authority columns.
+All dimension joins broadcast; the fact table is never shuffled until
+the merge stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from serialization_agents_spark.functions.normalize import fuzzy_score_udf
+
+_AUTH_COLS = [
+    "viaf_id", "viaf_all", "type", "lc_id", "getty_id", "wikidata_id",
+    "lc_term", "viaf_term", "birth", "death", "dbpedia_id", "normalized", "fast",
+]
+
+
+def resolve_redirects(
+    mentions: DataFrame, redirects: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Chase viaf_hint through the redirects dimension.
+
+    Returns (mentions with `viaf_resolved`, dead_viaf side-output).
+    Chain per reference lib/utils.js:86-182: redirect target wins; a
+    deleted id with an LC fallback resolves via `use_instead_lc`; a
+    deleted id with no fallback is dead -> hint dropped, mention falls
+    through to the name pass.
+    """
+    if redirects is None:
+        m = mentions.withColumn("viaf_resolved", F.col("viaf_hint"))
+        dead = mentions.limit(0).select(
+            F.col("url"), F.col("viaf_hint").alias("dead_viaf")
+        )
+        return m, dead
+
+    r = redirects.select(
+        F.col("old_id"),
+        F.coalesce("new_id", "use_instead_lc").alias("redirect_target"),
+        F.lit(True).alias("in_redirects"),
+    )
+    joined = mentions.join(broadcast(r), mentions.viaf_hint == r.old_id, "left")
+    resolved = joined.withColumn(
+        "viaf_resolved",
+        F.when(F.col("in_redirects").isNull(), F.col("viaf_hint")).otherwise(
+            F.col("redirect_target")  # may be NULL => dead id
+        ),
+    ).drop("old_id", "redirect_target", "in_redirects")
+    dead = resolved.where(
+        F.col("viaf_hint").isNotNull() & F.col("viaf_resolved").isNull()
+    ).select("url", F.col("viaf_hint").alias("dead_viaf"))
+    return resolved, dead
+
+
+def link_mentions(
+    mentions: DataFrame,
+    authority: DataFrame,
+    redirects: DataFrame | None = None,
+    blacklist: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full cascade. Returns (linked mentions, dead_viaf side-output).
+
+    Plan shape (verify with .explain): scan -> [broadcast anti-join]
+    -> [broadcast left join redirects] -> [broadcast left join viaf-key]
+    -> [broadcast left join lc-key] -> [broadcast left join name-block
+    + window top-1] -> project. Zero fact-table shuffles besides the
+    name-block window, which AQE coalesces (candidates are a tiny
+    fraction of mentions).
+    """
+    m = mentions
+    if blacklist is not None:
+        # F6 — broadcast anti-join beats isin() for an updatable dimension.
+        m = m.join(
+            broadcast(blacklist.withColumnRenamed("name", "name_raw")),
+            "name_raw",
+            "left_anti",
+        )
+
+    m, dead = resolve_redirects(m, redirects)
+
+    # --- J1: viaf-key join, keyed by every id in each cluster ------------
+    viaf_keys = authority.select(
+        F.explode("viaf_all").alias("viaf_resolved"),
+        F.struct(*_AUTH_COLS).alias("auth_v"),
+    ).dropDuplicates(["viaf_resolved"])
+    m = m.join(broadcast(viaf_keys), "viaf_resolved", "left")
+
+    # --- J2: lcId fallback (reference: only when J1 missed) --------------
+    lc_keys = (
+        authority.where(F.col("lc_id").isNotNull())
+        .select(F.col("lc_id").alias("lc_hint"), F.struct(*_AUTH_COLS).alias("auth_l"))
+        .dropDuplicates(["lc_hint"])
+    )
+    if "lc_hint" in m.columns:
+        m = m.join(broadcast(lc_keys), "lc_hint", "left")
+    else:
+        m = m.withColumn("auth_l", F.lit(None).cast(lc_keys.schema["auth_l"].dataType))
+
+    m = m.withColumn("auth_hit", F.coalesce("auth_v", "auth_l")).drop("auth_v", "auth_l")
+
+    # --- J4: normalized-name block + fuzzy top-1 for the rest ------------
+    name_keys = authority.select(
+        F.explode("normalized").alias("name_norm"),
+        F.struct(*_AUTH_COLS).alias("auth_n"),
+    )
+    unmatched = m.where(F.col("auth_hit").isNull()).drop("auth_hit")
+    cands = unmatched.join(broadcast(name_keys), "name_norm", "left")
+    # Fuzzy argmax (reference lib/utils.js:53-61): score(normalized mention
+    # name, normalized candidate controlled term); candidates already share
+    # the blocking key, so scores only break ties within a block.
+    cands = cands.withColumn(
+        "fuzzy",
+        F.when(
+            F.col("auth_n").isNotNull(),
+            fuzzy_score_udf(
+                F.col("name_norm"),
+                F.lower(F.coalesce("auth_n.lc_term", "auth_n.viaf_term")),
+            ),
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc_nulls_last("fuzzy"), F.asc("auth_n.viaf_id")
+    )
+    best = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("auth_n", "auth_hit")
+    )
+
+    matched = m.where(F.col("auth_hit").isNotNull()).withColumn(
+        "fuzzy", F.lit(None).cast("double")
+    )
+    linked = matched.unionByName(best)
+
+    # --- entity key: deterministic, order-free ----------------------------
+    linked = linked.withColumn(
+        "entity_key",
+        F.when(
+            F.col("auth_hit").isNotNull(), F.concat(F.lit("viaf:"), F.col("auth_hit.viaf_id"))
+        ).otherwise(
+            F.concat(F.lit("noViaf:"), F.abs(F.xxhash64("name_norm")).cast("string"))
+        ),
+    )
+    return linked, dead

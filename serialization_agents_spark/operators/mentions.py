@@ -1,0 +1,160 @@
+"""Agent-mention detection (the Spark analogue of the reference's
+per-record `sc:agents` / `agents` arrays).
+
+The reference receives mentions pre-structured inside each source record
+(`bib['sc:agents']`, /root/reference/lib/shadowcat_serialize_viaf_agents.js:164;
+`obj.agents`, lib/utils_archives.js:18). Web pages carry them as markup
+and prose instead, so detection is ours:
+
+- **markup mentions** — `<span class="agent" data-viaf="...">Name</span>`
+  spans (the analogue of VIAF-backed `sc:agents` entries) and attribute-less
+  `<span class="agent">Name</span>` spans (the non-VIAF pass,
+  lib/shadowcat_serialize_non_viaf_agents.js:164). Pure
+  `regexp_extract_all` — JVM-side, no Python.
+- **pattern mentions** — NER-style detection over extracted `text` using a
+  capitalized-name-in-context regex ("Work by <Name> ...") for pages with
+  no markup. Also JVM-side.
+- **gazetteer mentions** (`detect_mentions_gazetteer`) — token-shingle
+  blocking join of page text against the authority's normalized name
+  forms; catches unmarked prose names. One shuffle (explode + join vs a
+  broadcast dimension).
+
+Every mention row gets a deterministic `mention_id = xxhash64(url,
+name_raw, occurrence)` — never wall-clock or RNG (SURVEY.md §4.2.3) — so
+re-runs and resumed runs agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serialization_agents_spark.functions.normalize import normalize_name_expr
+
+MARKUP_VIAF_RE = r'<span class="agent" data-viaf="([^"]*)">([^<]+)</span>'
+MARKUP_PLAIN_RE = r'<span class="agent">([^<]+)</span>'
+# NER-ish prose pattern: "by <Capitalized Name> reviewed/wrote/..."
+PROSE_RE = r"by ((?:[A-Z][\w.'-]*)(?: [A-Z0-9][\w.'-]*)*) (?:reviewed|wrote|edited)"
+
+
+def detect_mentions(
+    pages: DataFrame, source: str = "web", source_priority: int = 1
+) -> DataFrame:
+    """pages(url, html, text, ...) -> MENTIONS-schema rows.
+
+    Reference parity: F2 (drop records with no mentions,
+    lib/shadowcat_serialize_viaf_agents.js:162) falls out naturally —
+    pages yielding zero spans produce zero rows from the explode.
+    """
+    html_s = F.col("html").cast("string")
+
+    hinted = pages.select(
+        "url",
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(2)).alias("name"),
+                F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(1)).alias("viaf"),
+            )
+        ).alias("pos", "m"),
+    ).select(
+        "url",
+        F.col("m.name").alias("name_raw"),
+        F.nullif(F.col("m.viaf"), F.lit("")).alias("viaf_hint"),
+        F.col("pos"),
+    )
+
+    plain = pages.select(
+        "url",
+        F.posexplode(
+            F.regexp_extract_all(html_s, F.lit(MARKUP_PLAIN_RE), F.lit(1))
+        ).alias("pos", "name_raw"),
+    ).select(
+        "url", "name_raw", F.lit(None).cast("string").alias("viaf_hint"),
+        (F.col("pos") + 1000).alias("pos"),  # occurrence-space offset per detector
+    )
+
+    out = hinted.unionByName(plain)
+    return out.select(
+        "url",
+        F.xxhash64("url", "name_raw", F.coalesce("viaf_hint", F.lit("")), "pos").alias(
+            "mention_id"
+        ),
+        "name_raw",
+        normalize_name_expr(F.col("name_raw")).alias("name_norm"),
+        "viaf_hint",
+        F.lit(source).alias("source"),
+        F.lit(source_priority).cast("int").alias("source_priority"),
+    ).where(F.length("name_norm") > 0)
+
+
+def detect_mentions_prose(
+    pages_with_text: DataFrame, source: str = "web_prose", source_priority: int = 2
+) -> DataFrame:
+    """NER-style prose detection over the extracted `text` column only —
+    for corpora with no agent markup at all."""
+    return (
+        pages_with_text.select(
+            "url",
+            F.posexplode(
+                F.regexp_extract_all(F.col("text"), F.lit(PROSE_RE), F.lit(1))
+            ).alias("pos", "name_raw"),
+        )
+        .select(
+            "url",
+            F.xxhash64("url", "name_raw", F.lit(""), F.col("pos") + 2000).alias("mention_id"),
+            "name_raw",
+            normalize_name_expr(F.col("name_raw")).alias("name_norm"),
+            F.lit(None).cast("string").alias("viaf_hint"),
+            F.lit(source).alias("source"),
+            F.lit(source_priority).cast("int").alias("source_priority"),
+        )
+        .where(F.length("name_norm") > 0)
+    )
+
+
+def detect_mentions_gazetteer(
+    pages_with_text: DataFrame,
+    authority: DataFrame,
+    max_shingle: int = 4,
+    source: str = "web_gazetteer",
+    source_priority: int = 3,
+) -> DataFrame:
+    """Shingle-blocking gazetteer matcher: explode page text into 1..k-token
+    normalized shingles, hash-join against the authority's normalized name
+    forms (broadcast — the dimension is small relative to the corpus).
+
+    Scale note: the explode fans each page out ~tokens×k ways but stays a
+    narrow op followed by ONE broadcast join; no shuffle of the fact table.
+    """
+    toks = F.split(normalize_name_expr(F.col("text")), " ")
+    shingled = pages_with_text.select("url", toks.alias("toks")).select(
+        "url",
+        F.posexplode(
+            F.flatten(
+                F.array(*[
+                    F.when(
+                        F.size("toks") >= L,
+                        F.transform(
+                            # for shingle length L: start positions 0..len-L
+                            F.sequence(F.lit(0), F.size("toks") - L),
+                            lambda i, L=L: F.array_join(F.slice("toks", i + 1, L), " "),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                    for L in range(1, max_shingle + 1)
+                ])
+            )
+        ).alias("pos", "shingle"),
+    )
+    gaz = authority.select(
+        F.explode("normalized").alias("shingle"), F.col("viaf_id")
+    ).dropDuplicates(["shingle"])
+    hits = shingled.join(F.broadcast(gaz), "shingle")
+    return hits.select(
+        "url",
+        F.xxhash64("url", "shingle", F.lit("gaz"), F.col("pos") + 3000).alias("mention_id"),
+        F.col("shingle").alias("name_raw"),
+        F.col("shingle").alias("name_norm"),
+        F.col("viaf_id").alias("viaf_hint"),
+        F.lit(source).alias("source"),
+        F.lit(source_priority).cast("int").alias("source_priority"),
+    )

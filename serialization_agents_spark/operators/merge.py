@@ -1,0 +1,162 @@
+"""Priority merge algebra — the reference's aggregate-then-serialize core
+(A1-A6, SURVEY.md §2.4) as an order-free, salted two-phase aggregation.
+
+Reference semantics reproduced (citations into /root/reference):
+
+- name precedence `lcTerm > viafTerm > local name`
+  (lib/utils_shadowcat.js:212-221; archives variant lib/utils_archives.js:131-184);
+- `(Spirit)` qualifier strip (lib/utils_shadowcat.js:230);
+- `type` lowercased, default 'personal' (lib/utils_shadowcat.js:232,318),
+  with the TMS `&`-in-name => 'corporate' heuristic (lib/utils_tms.js:146-147);
+- `ulan` = int-cast of gettyId (lib/utils_shadowcat.js:236);
+- accumulated `nameNormalized` set and scored `altForms`
+  (lib/utils_shadowcat.js:244-263, scores :247);
+- within-record dedupe of identical candidate agents
+  (lib/shadowcat_serialize_viaf_agents.js:192-195) — `dropDuplicates`;
+- `useCount`-style mention counting.
+
+The reference achieves cross-record merging through serialized upserts
+into MongoDB with unique indexes (lib/utils.js:216-266) — ordered side
+effects. At 10^12 documents that is the bottleneck; we replace run-order
+with an explicit priority column and a commutative aggregation
+(SURVEY.md §4.3), which Spark executes as map-side partial aggregation +
+one shuffle.
+
+**Skew**: head entities (one agent in ~10% of pages) would put one
+reducer on the critical path. `merge_entities` therefore aggregates in
+two phases — `groupBy(entity_key, salt)` then `groupBy(entity_key)` —
+with `collect_set` arrays capped via `slice()` so no single buffer grows
+unboundedly (SURVEY.md §4.2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from serialization_agents_spark.functions.normalize import (
+    fuzzy_score_udf,
+    percent_overlap_udf,
+)
+from serialization_agents_spark.functions.normalize import normalize_name_expr
+
+N_SALT = 16
+MAX_ALT_FORMS = 64
+MAX_NAME_FORMS = 128
+
+
+def strip_spirit(col: Column) -> Column:
+    """X4 — remove the '(Spirit)' qualifier (lib/utils_shadowcat.js:230)."""
+    return F.regexp_replace(col, r"(?i)\s\(Spirit\)", "")
+
+
+def prepare_mention_facts(linked: DataFrame) -> DataFrame:
+    """Per-mention derived columns needed by the merge, all computed BEFORE
+    the shuffle so the aggregation itself is pure built-ins."""
+    controlled_guess = F.coalesce(
+        strip_spirit(F.col("auth_hit.lc_term")),
+        F.col("auth_hit.viaf_term"),
+        F.col("name_raw"),
+    )
+    # Scores for altForms metadata (X2/X3). Trivial case short-circuits to
+    # the reference's literal 100 / 1.0 (lib/utils_shadowcat.js:401).
+    poverlap = F.when(F.col("name_raw") == controlled_guess, F.lit(100.0)).otherwise(
+        percent_overlap_udf(F.col("name_raw"), controlled_guess)
+    )
+    fuzzy_alt = F.when(F.col("name_raw") == controlled_guess, F.lit(1.0)).otherwise(
+        fuzzy_score_udf(normalize_name_expr(controlled_guess), F.col("name_norm"))
+    )
+    # Name-precedence candidate for this row: (rank, value); min() over the
+    # group implements lcTerm > viafTerm > local-name coalescing.
+    name_pref = F.when(
+        F.col("auth_hit.lc_term").isNotNull(),
+        F.struct(F.lit(1).alias("p"), strip_spirit(F.col("auth_hit.lc_term")).alias("v")),
+    ).when(
+        F.col("auth_hit.viaf_term").isNotNull(),
+        F.struct(F.lit(2).alias("p"), F.col("auth_hit.viaf_term").alias("v")),
+    ).otherwise(
+        F.struct(F.lit(3).alias("p"), F.col("name_raw").alias("v"))
+    )
+    return (
+        linked
+        # A6 — within-record dedupe of identical candidates.
+        .dropDuplicates(["url", "entity_key", "name_raw"])
+        .withColumn("name_pref", name_pref)
+        .withColumn(
+            "alt_form",
+            F.struct(
+                F.col("name_raw").alias("name"),
+                F.lower(F.coalesce("auth_hit.type", F.lit("personal"))).alias("type"),
+                F.col("source").alias("source"),
+                F.col("url").alias("id"),
+                poverlap.alias("poverlap"),
+                fuzzy_alt.alias("fuzzy"),
+            ),
+        )
+    )
+
+
+def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
+    """linked mentions -> one canonical agent row per entity_key (AGENTS
+    schema minus registry_id / merge-lineage, which later stages fill)."""
+    facts = prepare_mention_facts(linked)
+
+    salted = facts.withColumn("salt", F.pmod(F.xxhash64("mention_id"), F.lit(n_salt)))
+
+    partial = salted.groupBy("entity_key", "salt").agg(
+        F.min("name_pref").alias("name_pref"),
+        F.first("auth_hit", ignorenulls=True).alias("auth"),
+        F.slice(F.collect_set("name_norm"), 1, MAX_NAME_FORMS).alias("name_norms"),
+        F.slice(F.collect_set("alt_form"), 1, MAX_ALT_FORMS).alias("alt_forms"),
+        F.count(F.lit(1)).alias("mention_count"),
+        F.min("source_priority").alias("source_priority"),
+    )
+
+    agg = partial.groupBy("entity_key").agg(
+        F.min("name_pref").alias("name_pref"),
+        F.first("auth", ignorenulls=True).alias("auth"),
+        F.slice(
+            F.array_distinct(F.flatten(F.collect_list("name_norms"))), 1, MAX_NAME_FORMS
+        ).alias("name_normalized"),
+        F.slice(
+            F.array_distinct(F.flatten(F.collect_list("alt_forms"))), 1, MAX_ALT_FORMS
+        ).alias("alt_forms"),
+        F.sum("mention_count").alias("mention_count"),
+        F.min("source_priority").alias("source_priority"),
+    )
+
+    name_controlled = F.col("name_pref.v")
+    auth = F.col("auth")
+    return agg.select(
+        F.lit(None).cast("long").alias("registry_id"),
+        "entity_key",
+        F.coalesce(auth["viaf_all"], F.array().cast("array<string>")).alias("viaf"),
+        auth["viaf_id"].isNotNull().alias("is_controlled"),
+        name_controlled.alias("name_controlled"),
+        auth["wikidata_id"].alias("wikidata"),
+        auth["lc_id"].alias("lc_id"),
+        auth["getty_id"].cast("long").alias("ulan"),
+        auth["dbpedia_id"].alias("dbpedia"),
+        auth["birth"].alias("birth"),
+        auth["death"].alias("death"),
+        F.when(auth["type"].isNotNull(), F.lower(auth["type"]))
+        .when(name_controlled.contains("&"), F.lit("corporate"))
+        .otherwise(F.lit("personal"))
+        .alias("type"),
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.col("name_normalized"),
+                    F.coalesce(auth["normalized"], F.array().cast("array<string>")),
+                )
+            )
+        ).alias("name_normalized"),
+        F.filter(
+            F.array_sort(F.col("alt_forms")), lambda a: a["name"] != name_controlled
+        ).alias("alt_forms"),
+        F.coalesce(auth["fast"], F.array().cast("array<long>")).alias("fast"),
+        F.array().cast("array<string>").alias("viaf_merged"),
+        F.array().cast("array<string>").alias("merge_source"),
+        F.col("mention_count"),
+        F.col("source_priority"),
+    )

@@ -1,0 +1,129 @@
+"""The end-to-end KG-construction pipeline (north_rule stages):
+
+    extract -> mention-detect -> link (candidate joins + fuzzy top-1)
+    -> merge (salted two-phase agg) -> canonicalize (iterative CC)
+    -> enumerate -> materialize triples
+
+Equivalent reference flow: the 8 serializer scripts + enumerate run in
+documented order (/root/reference/README.md:22-46, index.js:9-65); here
+it is ONE Spark job graph with explicit priority columns instead of run
+order (SURVEY.md §4.3).
+
+Shuffle budget (verify with .explain): extract/mentions are narrow;
+linking joins are broadcast; merge = 2 shuffles (salted partial + final);
+CC = 2 shuffles x iterations over the (small) entity set; enumerate = 1
+range shuffle of entities; triples narrow + 1 join for merged-key remap.
+The 100 TB fact table is shuffled exactly ONCE (the merge).
+
+Resume: when `out_dir` is given, each stage writes parquet + lineage and
+a completed stage (parquet `_SUCCESS` present) is READ BACK instead of
+recomputed on the next run — the Spark translation of the reference's
+re-queue-on-restart worker protocol
+(/root/reference/lib/shadowcat_serialize_viaf_agents.js:78-84,128-137).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serialization_agents_spark.operators.canonicalize import canonicalize_agents
+from serialization_agents_spark.operators.enumerate_ids import enumerate_ids
+from serialization_agents_spark.operators.extract import with_extracted_text
+from serialization_agents_spark.operators.linking import link_mentions
+from serialization_agents_spark.operators.mentions import detect_mentions
+from serialization_agents_spark.operators.merge import merge_entities
+from serialization_agents_spark.operators.triples import materialize_triples
+from serialization_agents_spark.plans.lineage import stage_metrics
+
+
+@dataclass
+class PipelineResult:
+    pages: DataFrame
+    mentions: DataFrame
+    linked: DataFrame
+    dead_viaf: DataFrame
+    agents: DataFrame
+    canonical: DataFrame
+    triples: DataFrame
+    cc_iterations: int = 0
+    stages_resumed: list[str] = field(default_factory=list)
+    stages_computed: list[str] = field(default_factory=list)
+
+
+def _stage_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage)
+
+
+def _is_complete(out_dir: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(_stage_path(out_dir, stage), "_SUCCESS"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    authority: DataFrame,
+    redirects: DataFrame | None = None,
+    blacklist: DataFrame | None = None,
+    lang_filter: str | None = None,
+    out_dir: str | None = None,
+    run_id: str = "run0",
+) -> PipelineResult:
+    resumed: list[str] = []
+    computed: list[str] = []
+
+    def materialize(df: DataFrame, stage: str, key_col: str) -> DataFrame:
+        """Write stage output + lineage if out_dir set; resume if present."""
+        if out_dir is None:
+            return df
+        path = _stage_path(out_dir, stage)
+        if _is_complete(out_dir, stage):
+            resumed.append(stage)
+            return spark.read.parquet(path)
+        df.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        stage_metrics(out, run_id, stage, key_col).write.mode("append").parquet(
+            os.path.join(out_dir, "_metrics")
+        )
+        computed.append(stage)
+        return out
+
+    # F1-analogue: the reference drops non-research bibs
+    # (lib/shadowcat_serialize_viaf_agents.js:161); we optionally gate on lang.
+    if lang_filter is not None:
+        pages = pages.where(F.col("lang") == lang_filter)
+
+    pages_x = with_extracted_text(pages)
+    pages_x = materialize(pages_x, "extract", "url")
+
+    mentions = detect_mentions(pages_x)
+    mentions = materialize(mentions, "mentions", "mention_id")
+
+    linked, dead = link_mentions(mentions, authority, redirects, blacklist)
+    linked = materialize(linked, "linked", "mention_id")
+
+    agents = merge_entities(linked)
+    agents = materialize(agents, "agents", "entity_key")
+
+    canonical, iters = canonicalize_agents(agents)
+    canonical = enumerate_ids(canonical, order_col="entity_key")
+    canonical = materialize(canonical, "canonical", "entity_key")
+
+    triples = materialize_triples(canonical, linked)
+    triples = materialize(triples, "triples", "subj")
+
+    return PipelineResult(
+        pages=pages_x,
+        mentions=mentions,
+        linked=linked,
+        dead_viaf=dead,
+        agents=agents,
+        canonical=canonical,
+        triples=triples,
+        cc_iterations=iters,
+        stages_resumed=resumed,
+        stages_computed=computed,
+    )

@@ -1,0 +1,289 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md shapes).
+
+- ``synth_authority`` — VIAF-like dimension (shape of `registry.viaf`,
+  /root/reference/lib/utils.js:89) built driver-side (it is small by
+  design: authorities are a dimension, pages are the fact table). The
+  golden rows from the reference's unit fixtures
+  (/root/reference/test/utils.test.js: Plato :24-65, Andrews :163-198,
+  Zawidzka :233-275, Wehrli :317-350) are appended verbatim so ported
+  tests assert identical merge outputs.
+- ``synth_pages`` — Common-Crawl-style pages built **distributively**:
+  `spark.range(n)` + deterministic `xxhash64`-derived pseudo-randomness,
+  so the generator itself scales to any page count with zero driver
+  memory. One "celebrity" agent appears in ~10% of pages (head-entity
+  skew, FIXTURES.md §1); remaining names quadratically skewed.
+- ``synth_redirects`` / ``synth_blacklist`` — small static fixtures
+  (golden rows from /root/reference/test/viaf.test.js:8-63 and the TMS
+  blacklist, lib/tms_serialize_objects_agents.js:211).
+
+Every value is a pure function of (row id, seed): re-running at any
+parallelism yields byte-identical tables.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serialization_agents_spark import schemas
+from serialization_agents_spark.functions.normalize import normalize_name_py
+
+SEED = 42
+
+FIRST_NAMES = [
+    "Ann", "Wanda", "Abraham", "Aristocles", "Maria", "Johann", "Elena", "Pierre",
+    "Ingrid", "Carlos", "Yuki", "Amara", "Niels", "Sofia", "Viktor", "Leila",
+    "Marcus", "Freya", "Dmitri", "Clara", "Hassan", "Beatrix", "Otto", "Lucia",
+    "Edgar", "Miriam", "Stefan", "Paloma", "Henrik", "Zora", "Felix", "Nadia",
+    "Oscar", "Greta", "Ivan", "Celeste", "Rudolf", "Anya", "Tobias", "Margit",
+]
+LAST_NAMES = [
+    "Andrews", "Zawidzka", "Lincoln", "Wehrli", "Okafor", "Lindgren", "Moreau",
+    "Takahashi", "Petrov", "Silva", "Novak", "Haugen", "Keller", "Rossi",
+    "Vargas", "Olsen", "Brandt", "Kowalski", "Duran", "Eriksen", "Falk",
+    "Grimaldi", "Holst", "Ibarra", "Jensen", "Krause", "Lorenz", "Meyer",
+    "Nilsson", "Ortega", "Palmer", "Quint", "Richter", "Sorensen", "Tanaka",
+    "Ulrich", "Vogel", "Weiss", "Xavier", "Ypsilanti",
+]
+
+CELEBRITY_NAME = "Plato"  # authority index 0: the head entity (~10% of pages)
+
+NAV_HTML = '<nav class="site-nav"><a href="/">Home</a> | <a href="/about">About</a> | <a href="/contact">Contact</a></nav>'
+AD_HTML = '<div class="ad">Buy widgets now! Limited offer.</div>'
+FOOTER_HTML = '<footer>&copy; 2024 Example Archive. All rights reserved.</footer>'
+
+
+# ---------------------------------------------------------------------------
+# Authority dimension
+# ---------------------------------------------------------------------------
+def _golden_authority_rows() -> list[dict]:
+    """The four reference unit-test fixtures, verbatim (data, not code)."""
+    return [
+        dict(
+            viaf_id="108159964",
+            viaf_all=["108159964", "299190368", "306339535", "261509958", "85932949",
+                      "257631224", "262857497", "288392106", "104723617", "85932965",
+                      "59087945", "79033290", "250661051", "104718382", "265620858",
+                      "305056294", "312737481", "264723928"],
+            source_count=31, type="Personal", has_lc=True, lc_id="n79139459",
+            getty_id="500248317", wikidata_id="Q859", lc_term="Plato LC TEST",
+            dnb_term="Plato v427-v347", viaf_term="Plato", birth="-427-01-01",
+            death="-347", dbpedia_id="Plato",
+            normalized=["plato", "plato v427 v347"], fast=[46610],
+        ),
+        dict(
+            viaf_id="53706985", viaf_all=["53706985"], source_count=1,
+            type="Personal", has_lc=True, lc_id="no89014249", getty_id=None,
+            wikidata_id=None, lc_term="Andrews, Ann, 1890-1986", dnb_term=None,
+            viaf_term="Andrews, Ann, 1890-1986", birth="1890-10-13",
+            death="1986-01-23", dbpedia_id=None,
+            normalized=["andrews ann 1890 1986"], fast=[1492506, 1727006],
+        ),
+        dict(
+            viaf_id="9096637", viaf_all=["9096637"], source_count=7,
+            type="Personal", has_lc=True, lc_id="n95078597", getty_id=None,
+            wikidata_id="Q7967152", lc_term="Zawidzka-Manteuffel, Wanda, 1906-1994",
+            dnb_term="Zawidzka-Manteuffel, Wanda, 1906-1994",
+            viaf_term="Zawidzka, Wanda, 1906-1994", birth="1906-02-07",
+            death="1994-05-04", dbpedia_id="Wanda_Zawidzka-Manteuffel",
+            normalized=["zawidzka manteuffel wanda 1906 1994",
+                        "zawidzka wanda 1906 1994"], fast=[359929],
+        ),
+        dict(
+            viaf_id="96139673", viaf_all=["96139673"], source_count=1,
+            type="Personal", has_lc=False, lc_id=None, getty_id="500066483",
+            wikidata_id=None, lc_term=None, dnb_term=None,
+            viaf_term="Wehrli, A. G. (Swiss photographer, active early 20th century)",
+            birth="1870", death="1960", dbpedia_id=None,
+            normalized=["wehrli a g swiss photographer active early 20th century"],
+            fast=[],
+        ),
+    ]
+
+
+def authority_records(n_auth: int = 400) -> list[dict]:
+    """Deterministic authority rows (pure arithmetic, no RNG state)."""
+    rows = []
+    for i in range(n_auth):
+        if i == 0:
+            first, last = "", CELEBRITY_NAME  # mononym head entity
+            display = CELEBRITY_NAME
+            viaf_term = CELEBRITY_NAME
+        else:
+            first = FIRST_NAMES[(i * 7) % len(FIRST_NAMES)]
+            last = LAST_NAMES[(i * 13) % len(LAST_NAMES)]
+            display = f"{first} {last}"
+            viaf_term = f"{last}, {first}"
+        birth = 1750 + (i * 11) % 200
+        death = birth + 40 + (i * 3) % 45
+        has_lc = (i % 10) < 7
+        lc_term = f"{viaf_term}, {birth}-{death}" if has_lc else None
+        is_corp = (i % 10) == 9
+        normalized = sorted(
+            {normalize_name_py(x) for x in [lc_term, viaf_term, display] if x}
+        )
+        rows.append(
+            dict(
+                viaf_id=str(100000000 + i * 97),
+                viaf_all=[str(100000000 + i * 97)]
+                + ([str(900000000 + i)] if i % 5 == 0 else []),
+                source_count=1 + (i % 30),
+                type="Corporate" if is_corp else "Personal",
+                has_lc=has_lc,
+                lc_id=f"n{79000000 + i}" if has_lc else None,
+                getty_id=str(500000000 + i) if i % 3 == 0 else None,
+                wikidata_id=f"Q{1000 + i}" if i % 2 == 0 else None,
+                lc_term=lc_term,
+                dnb_term=None,
+                viaf_term=viaf_term,
+                birth=str(birth) if i % 4 != 3 else None,
+                death=str(death) if i % 4 != 3 else None,
+                dbpedia_id=display.replace(" ", "_") if i % 6 == 0 else None,
+                normalized=normalized,
+                fast=[10000 + i] if i % 2 == 0 else [],
+                _display=display,  # internal: page-rendering name
+            )
+        )
+    return rows
+
+
+def synth_authority(spark: SparkSession, n_auth: int = 400) -> DataFrame:
+    rows = [
+        {k: v for k, v in r.items() if k != "_display"} for r in authority_records(n_auth)
+    ]
+    # Golden fixtures appended after the synthetic block (Plato is already
+    # index 0 with different ids; golden Plato has viaf 108159964 and is
+    # only used by the ported unit tests, not by page rendering).
+    rows += _golden_authority_rows()
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf, schema=schemas.AUTHORITY)
+
+
+def synth_redirects(spark: SparkSession) -> DataFrame:
+    """Golden rows from /root/reference/test/viaf.test.js:8-63."""
+    rows = [
+        ("264030008", "137799745", None, None),
+        ("9431627", None, None, None),  # deleted
+        ("137799745", None, "n87890313", None),
+        ("85312226", None, "n85367769", "22324673"),
+    ]
+    return spark.createDataFrame(rows, schema=schemas.VIAF_REDIRECTS)
+
+
+def synth_blacklist(spark: SparkSession) -> DataFrame:
+    rows = [("Unknown",), ("Anonymous",), ("[no name]",), ("Unidentified",)]
+    return spark.createDataFrame(rows, schema=schemas.NAME_BLACKLIST)
+
+
+# ---------------------------------------------------------------------------
+# Pages fact table — fully distributed generation
+# ---------------------------------------------------------------------------
+def _h(col_id: Column, tag: str, mod: int) -> Column:
+    """Deterministic pseudo-random int in [0, mod) from (id, tag, SEED)."""
+    return F.pmod(F.xxhash64(col_id, F.lit(tag), F.lit(SEED)), F.lit(mod))
+
+
+def _mention_html(name: Column, viaf: Column, hinted: Column) -> Column:
+    """Render one mention sentence. Markup-hinted mentions carry a
+    data-viaf attribute (the analogue of the reference's VIAF-backed
+    `sc:agents` entries); plain ones must be linked by name (the
+    non-VIAF pass)."""
+    return F.when(
+        hinted,
+        F.format_string(
+            '<p>Work by <span class="agent" data-viaf="%s">%s</span> reviewed.</p>',
+            viaf, name,
+        ),
+    ).otherwise(
+        F.format_string('<p>Work by <span class="agent">%s</span> reviewed.</p>', name)
+    )
+
+
+def _mention_text(name: Column) -> Column:
+    return F.format_string("Work by %s reviewed.", name)
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int = 2000,
+    n_auth: int = 400,
+    n_noise: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed page generator. Each page gets 1-4 agent mentions:
+
+    - slot C: the celebrity (authority[0]) in ~10% of pages (skew);
+    - slot 1: always, quadratically-skewed authority pick;
+    - slot 2: 60% of pages, independent skewed pick;
+    - slot N: 25% of pages, a noise name absent from the authority
+      (exercises the noViaf surrogate-key path).
+
+    `text` is pre-extracted for ~70% of rows and NULL otherwise (forcing
+    the extraction path); `lang` is 85% 'en' with de/fr/es tails.
+    """
+    auth = authority_records(n_auth)
+    names = F.array(*[F.lit(r["_display"]) for r in auth])
+    viafs = F.array(*[F.lit(r["viaf_id"]) for r in auth])
+
+    df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    cid = F.col("id")
+
+    def pick(tag: str) -> Column:
+        # Quadratic skew toward low indices (Zipf-ish tail).
+        u = _h(cid, tag, 1_000_000) / F.lit(1_000_000.0)
+        return (u * u * F.lit(n_auth)).cast("int")
+
+    def slot(tag: str, present: Column) -> tuple[Column, Column, Column]:
+        idx = pick(tag)
+        name = F.element_at(names, idx + 1)
+        viaf = F.element_at(viafs, idx + 1)
+        hinted = _h(cid, tag + "_hint", 100) < 60
+        html = F.when(present, _mention_html(name, viaf, hinted))
+        text = F.when(present, _mention_text(name))
+        return html, text, name
+
+    celeb_present = _h(cid, "celeb", 100) < 10
+    celeb_name = F.element_at(names, 1)
+    celeb_viaf = F.element_at(viafs, 1)
+    celeb_hinted = _h(cid, "celeb_hint", 100) < 60
+    c_html = F.when(celeb_present, _mention_html(celeb_name, celeb_viaf, celeb_hinted))
+    c_text = F.when(celeb_present, _mention_text(celeb_name))
+
+    s1_html, s1_text, _ = slot("m1", F.lit(True))
+    s2_present = _h(cid, "p2", 100) < 60
+    s2_html, s2_text, _ = slot("m2", s2_present)
+
+    noise_present = _h(cid, "pn", 100) < 25
+    noise_name = F.format_string("Unlisted Person %d", _h(cid, "noise", n_noise))
+    n_html = F.when(noise_present, _mention_html(noise_name, F.lit(""), F.lit(False)))
+    n_text = F.when(noise_present, _mention_text(noise_name))
+
+    filler = F.format_string("Page %d of the example archive.", cid)
+    body_text = F.concat_ws(" ", c_text, s1_text, s2_text, n_text, filler)
+    body_html = F.concat_ws(
+        "", c_html, s1_html, s2_html, n_html, F.format_string("<p>%s</p>", filler)
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Example</title>"
+              "<script>track();</script><style>.x{}</style></head><body>"),
+        F.lit(NAV_HTML), body_html, F.lit(AD_HTML), F.lit(FOOTER_HTML),
+        F.lit("</body></html>"),
+    )
+
+    lang_bucket = _h(cid, "lang", 100)
+    lang = (
+        F.when(lang_bucket < 85, "en")
+        .when(lang_bucket < 90, "de")
+        .when(lang_bucket < 95, "fr")
+        .otherwise("es")
+    )
+    has_text = _h(cid, "hastext", 100) < 70
+
+    return df.select(
+        F.format_string("https://example.org/site%d/page%d", cid % 1000, cid).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + cid % 86400).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.when(has_text, body_text).alias("text"),
+        lang.alias("lang"),
+    )
