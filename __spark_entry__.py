@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG pipeline (extract -> mention-detect ->
+link -> merge -> canonicalize -> triples) over pages deterministically
+derived from the sf0.001 `documents` x `customer` tables and returns the
+triples DataFrame.
+
+`queries()` exposes every implemented operator family from SURVEY.md §2
+plus the training-data ops (dedup / similarity / text analysis) as
+(spark, sf_dir) -> DataFrame callables; `oracle_sql()` gives the DuckDB
+equivalent for each (omitted only for ops whose float/hash plumbing is
+not SQL-portable — those get the driver's rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +17,636 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG flagship: pages derived deterministically from documents x customer.
+# Every value is a pure function of (doc_id, customer count), so the DuckDB
+# oracle can reproduce the whole pipeline analytically.
+# ---------------------------------------------------------------------------
+def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    d = F.col("doc_id")
+    base = (
+        docs.withColumn("ck1", (d * 37) % n)
+        .withColumn("ck2", F.when(d % 3 == 0, (d * 53 + 11) % n))
+        .withColumn("hinted1", d % 2 == 0)
+        .withColumn("hinted2", d % 4 == 0)
+        .withColumn("noise", F.when(d % 5 == 0, F.format_string("Unlisted Person %d", d % 37)))
+    )
+    c1 = cust.select(F.col("c_custkey").alias("ck1"), F.col("c_name").alias("name1"))
+    c2 = cust.select(F.col("c_custkey").alias("ck2"), F.col("c_name").alias("name2"))
+    base = base.join(broadcast(c1), "ck1").join(broadcast(c2), "ck2", "left")
+
+    def span(hinted, ck, name):
+        return F.when(
+            hinted,
+            F.format_string(
+                '<p>Work by <span class="agent" data-viaf="%s">%s</span> reviewed.</p>',
+                ck.cast("string"), name,
+            ),
+        ).otherwise(
+            F.format_string(
+                '<p>Work by <span class="agent">%s</span> reviewed.</p>', F.upper(name)
+            )
+        )
+
+    s1 = span(F.col("hinted1"), F.col("ck1"), F.col("name1"))
+    s2 = F.when(
+        F.col("ck2").isNotNull(), span(F.col("hinted2"), F.col("ck2"), F.col("name2"))
+    )
+    sn = F.when(
+        F.col("noise").isNotNull(),
+        F.format_string('<p>Work by <span class="agent">%s</span> reviewed.</p>', F.col("noise")),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>D</title></head><body><nav>Site Nav</nav>"),
+        F.concat_ws("", s1, s2, sn),
+        F.format_string("<p>Document %d.</p>", d),
+        F.lit("<footer>(c) docs</footer></body></html>"),
+    )
+    return base.select(
+        F.format_string("https://example.org/doc/%d", d).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serialization_agents_spark.functions.normalize import normalize_name_expr
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        k.cast("string").alias("viaf_id"),
+        F.array(k.cast("string")).alias("viaf_all"),
+        F.lit(1).alias("source_count"),
+        F.when(k % 10 == 9, "Corporate").otherwise("Personal").alias("type"),
+        (k % 2 == 0).alias("has_lc"),
+        F.when(k % 2 == 0, F.concat(F.lit("n"), k.cast("string"))).alias("lc_id"),
+        F.when(k % 4 == 0, (k + 500000000).cast("string")).alias("getty_id"),
+        F.when(k % 3 == 0, F.concat(F.lit("Q"), k.cast("string"))).alias("wikidata_id"),
+        F.when(k % 2 == 0, F.col("c_name")).alias("lc_term"),
+        F.lit(None).cast("string").alias("dnb_term"),
+        F.col("c_name").alias("viaf_term"),
+        F.lit(None).cast("string").alias("birth"),
+        F.lit(None).cast("string").alias("death"),
+        F.lit(None).cast("string").alias("dbpedia_id"),
+        F.array(normalize_name_expr(F.col("c_name"))).alias("normalized"),
+        F.array().cast("array<long>").alias("fast"),
+    )
+
+
+def _kg_canonical(spark: SparkSession, sf_dir: str):
+    from serialization_agents_spark.operators.canonicalize import canonicalize_agents
+    from serialization_agents_spark.operators.linking import link_mentions
+    from serialization_agents_spark.operators.mentions import detect_mentions
+    from serialization_agents_spark.operators.merge import merge_entities
+
+    pages = _kg_pages(spark, sf_dir)
+    authority = _kg_authority(spark, sf_dir)
+    mentions = detect_mentions(pages)
+    linked, _dead = link_mentions(mentions, authority)
+    linked = linked.persist()
+    agents = merge_entities(linked)
+    canonical, _iters = canonicalize_agents(agents)
+    return linked, agents, canonical
+
+
+# SQL building blocks shared by the kg_* oracles (DuckDB dialect).
+_KG_SQL_BASE = """
+WITH n AS (SELECT count(*) AS c FROM customer),
+base AS (
+  SELECT d.doc_id,
+         'https://example.org/doc/' || d.doc_id AS url,
+         (d.doc_id * 37) % (SELECT c FROM n) AS ck1,
+         CASE WHEN d.doc_id % 3 = 0 THEN (d.doc_id * 53 + 11) % (SELECT c FROM n) END AS ck2,
+         d.doc_id % 2 = 0 AS hinted1,
+         d.doc_id % 4 = 0 AS hinted2,
+         CASE WHEN d.doc_id % 5 = 0 THEN 'Unlisted Person ' || (d.doc_id % 37) END AS noise
+  FROM documents d
+),
+withnames AS (
+  SELECT b.*, c1.c_name AS name1, c2.c_name AS name2
+  FROM base b
+  JOIN customer c1 ON b.ck1 = c1.c_custkey
+  LEFT JOIN customer c2 ON b.ck2 = c2.c_custkey
+),
+mentions AS (
+  SELECT url, CASE WHEN hinted1 THEN name1 ELSE upper(name1) END AS name_raw,
+         CASE WHEN hinted1 THEN CAST(ck1 AS VARCHAR) END AS viaf_hint,
+         ck1 AS ck
+  FROM withnames
+  UNION ALL
+  SELECT url, CASE WHEN hinted2 THEN name2 ELSE upper(name2) END AS name_raw,
+         CASE WHEN hinted2 THEN CAST(ck2 AS VARCHAR) END AS viaf_hint,
+         ck2 AS ck
+  FROM withnames WHERE ck2 IS NOT NULL
+  UNION ALL
+  SELECT url, noise AS name_raw, NULL AS viaf_hint, NULL AS ck
+  FROM withnames WHERE noise IS NOT NULL
+),
+linked AS (
+  SELECT url, name_raw,
+         CASE WHEN ck IS NOT NULL THEN 'viaf:' || ck
+              ELSE 'noViaf:' || substr(md5(trim(regexp_replace(lower(name_raw), '[^a-z0-9]+', ' ', 'g'))), 1, 16)
+         END AS entity_key,
+         ck
+  FROM mentions
+),
+deduped AS (SELECT DISTINCT url, name_raw, entity_key, ck FROM linked),
+entities AS (
+  SELECT entity_key,
+         CASE WHEN max(ck) IS NOT NULL THEN max(c.c_name) ELSE min(name_raw) END AS name_controlled,
+         max(ck) IS NOT NULL AS is_controlled,
+         CASE WHEN max(ck) % 10 = 9 THEN 'corporate' ELSE 'personal' END AS type,
+         count(*) AS mention_count,
+         max(ck) AS ck
+  FROM deduped LEFT JOIN customer c ON deduped.ck = c.c_custkey
+  GROUP BY entity_key
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline at sf0.001; driver checks rows > 0."""
+    from serialization_agents_spark.operators.enumerate_ids import enumerate_ids
+    from serialization_agents_spark.operators.triples import materialize_triples
+
+    sf_dir = "/root/testdata/sf0.001"
+    linked, _agents, canonical = _kg_canonical(spark, sf_dir)
+    canonical = enumerate_ids(canonical, order_col="entity_key")
+    return materialize_triples(canonical, linked)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from serialization_agents_spark.functions import text as T
+    from serialization_agents_spark.operators import dedup as D
+    from serialization_agents_spark.operators import similarity as S
+    from serialization_agents_spark.operators.enumerate_ids import enumerate_ids
+    from serialization_agents_spark.operators.triples import materialize_triples
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- SURVEY §2 relational operators over the TPC-H-ish tables -------
+    def s2_minmax_probe(spark, sf):
+        return _t(spark, sf, "orders").agg(
+            F.min("o_orderkey").alias("min_key"), F.max("o_orderkey").alias("max_key")
+        )
+
+    def s3_scan_project_filter(spark, sf):
+        return (
+            _t(spark, sf, "documents")
+            .where(F.col("lang") == "en")
+            .select("doc_id", "n_chars")
+        )
+
+    def f6_blacklist_anti_join(spark, sf):
+        docs = _t(spark, sf, "documents")
+        bl = docs.sparkSession.createDataFrame([("src0",), ("src1",)], "source string")
+        return docs.join(broadcast(bl), "source", "left_anti").select("doc_id", "source")
+
+    def f7_semi_join(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+            "c_custkey"
+        )
+
+    def j1_broadcast_lookup_join(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        return orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "c_name", "o_totalprice"
+        )
+
+    def o2_window_top1_orders(spark, sf):
+        orders = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+        )
+
+    def o2_latest_event_per_user(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+        )
+
+    def o3_enumerate_customers(spark, sf):
+        cust = _t(spark, sf, "customer").select(F.col("c_name").alias("entity_key"))
+        return enumerate_ids(cust, order_col="entity_key").select(
+            "entity_key", "registry_id"
+        )
+
+    def a5_groupby_set_union(spark, sf):
+        cust = _t(spark, sf, "customer")
+        return cust.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+            ).alias("nations"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+
+    def u2_union_priority(spark, sf):
+        ev = _t(spark, sf, "events")
+        tagged = ev.where(F.col("event_type").isin("click", "view")).select(
+            "user_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(2).alias("prio"),
+        )
+        return tagged.groupBy("user_id").agg(F.min("prio").alias("best_priority"))
+
+    def p2_regexp_extract_id(spark, sf):
+        cust = _t(spark, sf, "customer")
+        return cust.select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).alias("name_id"),
+        )
+
+    def a6_distinct_pairs(spark, sf):
+        return _t(spark, sf, "documents").select("lang", "source").distinct()
+
+    def o4_sessionize(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        flagged = ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        return flagged.groupBy("user_id").agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    # ---- training-data ops ----------------------------------------------
+    def dedup_exact(spark, sf):
+        return D.exact_duplicates(_t(spark, sf, "documents"))
+
+    def dedup_minhash_signatures(spark, sf):
+        sigs = D.minhash_signatures(_t(spark, sf, "documents"))
+        return sigs.select("doc_id", "band0", "band1", "band2", "band3")
+
+    def dedup_minhash_pairs(spark, sf):
+        return D.minhash_candidate_pairs(_t(spark, sf, "documents"))
+
+    def dedup_ngram_jaccard(spark, sf):
+        pairs = D.ngram_jaccard_pairs(_t(spark, sf, "documents"))
+        return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+    def dedup_simhash(spark, sf):
+        return D.simhash(_t(spark, sf, "documents"))
+
+    def ann_cosine_top3(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5)
+        return S.cosine_topk(corpus, queries_df, k=3)
+
+    def ann_lsh_top3(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5)
+        return S.lsh_bucket_topk(corpus, queries_df, k=3)
+
+    def text_lang_id(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+    def text_quality(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+    def text_token_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("ws_tokens"),
+            T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+
+    def text_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+    def multimodal_image_features(spark, sf):
+        from serialization_agents_spark.operators.multimodal import (
+            extract_image_features,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=200)
+        return extract_image_features(media, fake=True).select(
+            "media_id", "width", "height", "channels", "decode_ok"
+        )
+
+    # ---- KG pipeline over derived pages ----------------------------------
+    def kg_extract_text(spark, sf):
+        from serialization_agents_spark.operators.extract import with_extracted_text
+
+        return with_extracted_text(_kg_pages(spark, sf)).select("url", "text")
+
+    def kg_mentions(spark, sf):
+        from serialization_agents_spark.operators.mentions import detect_mentions
+
+        return detect_mentions(_kg_pages(spark, sf)).select(
+            "url", "name_raw", "viaf_hint"
+        )
+
+    def kg_linked(spark, sf):
+        from serialization_agents_spark.operators.linking import link_mentions
+        from serialization_agents_spark.operators.mentions import detect_mentions
+
+        mentions = detect_mentions(_kg_pages(spark, sf))
+        linked, _ = link_mentions(mentions, _kg_authority(spark, sf))
+        return linked.select("url", "name_raw", "entity_key").distinct()
+
+    def kg_agents(spark, sf):
+        _linked, agents, _canonical = _kg_canonical(spark, sf)
+        return agents.select(
+            "entity_key", "name_controlled", "is_controlled", "type", "mention_count"
+        )
+
+    def kg_triples(spark, sf):
+        linked, _agents, canonical = _kg_canonical(spark, sf)
+        return materialize_triples(canonical, linked)
+
+    def kg_enumerate_agents(spark, sf):
+        _linked, _agents, canonical = _kg_canonical(spark, sf)
+        return enumerate_ids(canonical, order_col="entity_key").select(
+            "entity_key", "registry_id"
+        )
+
+    return {
+        "s2_minmax_probe": s2_minmax_probe,
+        "s3_scan_project_filter": s3_scan_project_filter,
+        "f6_blacklist_anti_join": f6_blacklist_anti_join,
+        "f7_semi_join": f7_semi_join,
+        "j1_broadcast_lookup_join": j1_broadcast_lookup_join,
+        "o2_window_top1_orders": o2_window_top1_orders,
+        "o2_latest_event_per_user": o2_latest_event_per_user,
+        "o3_enumerate_customers": o3_enumerate_customers,
+        "a5_groupby_set_union": a5_groupby_set_union,
+        "u2_union_priority": u2_union_priority,
+        "p2_regexp_extract_id": p2_regexp_extract_id,
+        "a6_distinct_pairs": a6_distinct_pairs,
+        "o4_sessionize": o4_sessionize,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine_top3": ann_cosine_top3,
+        "ann_lsh_top3": ann_lsh_top3,
+        "text_lang_id": text_lang_id,
+        "text_quality": text_quality,
+        "text_token_counts": text_token_counts,
+        "text_fingerprint": text_fingerprint,
+        "multimodal_image_features": multimodal_image_features,
+        "kg_extract_text": kg_extract_text,
+        "kg_mentions": kg_mentions,
+        "kg_linked": kg_linked,
+        "kg_agents": kg_agents,
+        "kg_triples": kg_triples,
+        "kg_enumerate_agents": kg_enumerate_agents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingle_sql = (
+        "list_distinct(CASE WHEN len(w) >= 3 THEN "
+        "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+        "ELSE [array_to_string(w, ' ')] END)"
+    )
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    mh = lambda i: f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"  # noqa: E731
+    band = lambda b: (  # noqa: E731
+        f"md5('{b}' || '|' || " + " || '|' || ".join(f"mh{b * 4 + r}" for r in range(4)) + ")"
+    )
+    sig_cte = (
+        f"WITH sh AS (SELECT doc_id, {shingle_sql} AS sh FROM "
+        f"(SELECT doc_id, {toks} AS w FROM documents)), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"{mh(i)} AS mh{i}" for i in range(16))
+        + " FROM sh), "
+        "bands AS (SELECT doc_id, "
+        + ", ".join(f"{band(b)} AS band{b}" for b in range(4))
+        + " FROM sig)"
+    )
+    lang_counts = ", ".join(
+        f"len(list_intersect({toks}, {markers!r})) AS s_{lang}"
+        for lang, markers in [
+            ("en", ["the", "and", "of", "to", "a", "in", "is", "that", "it", "was"]),
+            ("de", ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"]),
+            ("fr", ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"]),
+            ("es", ["el", "la", "los", "las", "es", "una", "en", "que", "por", "con"]),
+        ]
+    )
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+
+    return {
+        "s2_minmax_probe": "SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders",
+        "s3_scan_project_filter": "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+        "f6_blacklist_anti_join": "SELECT doc_id, source FROM documents WHERE source NOT IN ('src0', 'src1')",
+        "f7_semi_join": "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+        "j1_broadcast_lookup_join": (
+            "SELECT o_orderkey, c_name, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "o2_window_top1_orders": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+            "FROM orders) WHERE rn = 1"
+        ),
+        "o2_latest_event_per_user": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
+        "o3_enumerate_customers": (
+            "SELECT c_name AS entity_key, "
+            "row_number() OVER (ORDER BY c_name) + 9999999 AS registry_id FROM customer"
+        ),
+        "a5_groupby_set_union": (
+            "SELECT c_mktsegment, count(*) AS n_customers, "
+            "array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS VARCHAR))), ',') AS nations, "
+            "round(sum(c_acctbal), 2) AS total_balance "
+            "FROM customer GROUP BY c_mktsegment"
+        ),
+        "u2_union_priority": (
+            "SELECT user_id, min(CASE WHEN event_type = 'click' THEN 1 ELSE 2 END) AS best_priority "
+            "FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id"
+        ),
+        "p2_regexp_extract_id": (
+            "SELECT c_custkey, regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS name_id FROM customer"
+        ),
+        "a6_distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
+        "o4_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, "
+            "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "FROM events) "
+            "SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions, "
+            "count(*) AS n_events FROM g GROUP BY user_id"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, "
+            "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_minhash_signatures": (
+            sig_cte + " SELECT doc_id, band0, band1, band2, band3 FROM bands"
+        ),
+        "dedup_minhash_pairs": (
+            sig_cte
+            + ", eb AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, band{b} AS band FROM bands" for b in range(4)
+            )
+            + "), ebd AS (SELECT DISTINCT doc_id, band FROM eb) "
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM ebd a JOIN ebd b ON a.band = b.band AND a.doc_id < b.doc_id"
+        ),
+        "dedup_ngram_jaccard": (
+            sig_cte
+            + ", eb AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, band{b} AS band FROM bands" for b in range(4)
+            )
+            + "), ebd AS (SELECT DISTINCT doc_id, band FROM eb), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM ebd a JOIN ebd b ON a.band = b.band AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, round("
+            "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4"
+            ") AS jaccard FROM pairs "
+            "JOIN sh sa ON pairs.id_a = sa.doc_id JOIN sh sb ON pairs.id_b = sb.doc_id"
+        ),
+        "dedup_simhash": (
+            "WITH tok AS (SELECT doc_id, unnest(list_distinct("
+            + toks
+            + ")) AS t FROM documents), "
+            "h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM tok), "
+            "votes AS (SELECT doc_id, "
+            + ", ".join(
+                f"sum(((hv >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(32)
+            )
+            + " FROM h GROUP BY doc_id) "
+            "SELECT doc_id, ("
+            + " + ".join(f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32))
+            + ")::BIGINT AS simhash FROM votes"
+        ),
+        "ann_cosine_top3": (
+            "SELECT query_id, neighbor_id, cosine, rank FROM ("
+            "SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, "
+            f"{cos} AS cosine, "
+            f"row_number() OVER (PARTITION BY b.vec_id ORDER BY {cos} DESC, a.vec_id ASC) AS rank "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE b.vec_id < 5 AND a.vec_id >= 5) WHERE rank <= 3"
+        ),
+        "text_lang_id": (
+            f"WITH s AS (SELECT doc_id, {lang_counts} FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN s_en <= 0 AND s_de <= 0 AND s_fr <= 0 AND s_es <= 0 THEN 'und' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+        ),
+        "text_quality": (
+            "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
+            f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tok, "
+            f"len(list_intersect({toks}, "
+            "['the','and','of','to','a','in','is','that','it','was'])) AS stop_hits, "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct "
+            "FROM documents) "
+            "SELECT doc_id, round(("
+            "least(n_tok / 20.0, 1.0) + "
+            "(CASE WHEN n_tok > 0 AND (n_chars - (n_tok - 1.0)) / n_tok BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) + "
+            "least((CASE WHEN n_tok > 0 THEN stop_hits::DOUBLE / n_tok ELSE 0 END) * 10.0, 1.0) + "
+            "greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) * 5.0)"
+            ") / 4.0, 4) AS quality FROM q"
+        ),
+        "text_token_counts": (
+            "SELECT doc_id, "
+            f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens "
+            "FROM documents"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            + toks
+            + ")), ' ')) AS fingerprint FROM documents"
+        ),
+        "kg_extract_text": (
+            _KG_SQL_BASE
+            + "SELECT url, "
+            "'Work by ' || (CASE WHEN hinted1 THEN name1 ELSE upper(name1) END) || ' reviewed.' || "
+            "(CASE WHEN ck2 IS NOT NULL THEN ' Work by ' || (CASE WHEN hinted2 THEN name2 ELSE upper(name2) END) || ' reviewed.' ELSE '' END) || "
+            "(CASE WHEN noise IS NOT NULL THEN ' Work by ' || noise || ' reviewed.' ELSE '' END) || "
+            "' Document ' || doc_id || '.' AS text "
+            "FROM withnames"
+        ),
+        "kg_mentions": (
+            _KG_SQL_BASE + "SELECT url, name_raw, viaf_hint FROM mentions"
+        ),
+        "kg_linked": (
+            _KG_SQL_BASE + "SELECT DISTINCT url, name_raw, entity_key FROM linked"
+        ),
+        "kg_agents": (
+            _KG_SQL_BASE
+            + "SELECT entity_key, name_controlled, is_controlled, type, mention_count FROM entities"
+        ),
+        "kg_triples": (
+            _KG_SQL_BASE
+            + """
+            SELECT 'registry:agent/' || entity_key AS subj, 'rdf:type' AS pred,
+                   CASE WHEN type = 'corporate' THEN 'foaf:Organization' ELSE 'foaf:Person' END AS obj
+            FROM entities
+            UNION ALL
+            SELECT 'registry:agent/' || entity_key, 'skos:prefLabel', name_controlled FROM entities
+            UNION ALL
+            SELECT DISTINCT 'registry:agent/' || d.entity_key, 'skos:altLabel', d.name_raw
+            FROM deduped d JOIN entities e ON d.entity_key = e.entity_key
+            WHERE d.name_raw <> e.name_controlled
+            UNION ALL
+            SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://viaf.org/viaf/' || ck
+            FROM entities WHERE ck IS NOT NULL
+            UNION ALL
+            SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://www.wikidata.org/entity/Q' || ck
+            FROM entities WHERE ck IS NOT NULL AND ck % 3 = 0
+            UNION ALL
+            SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://id.loc.gov/authorities/names/n' || ck
+            FROM entities WHERE ck IS NOT NULL AND ck % 2 = 0
+            UNION ALL
+            SELECT DISTINCT url, 'dct:contributor', 'registry:agent/' || entity_key FROM deduped
+            """
+        ),
+        "kg_enumerate_agents": (
+            _KG_SQL_BASE
+            + "SELECT entity_key, row_number() OVER (ORDER BY entity_key) + 9999999 AS registry_id "
+            "FROM entities"
+        ),
+    }

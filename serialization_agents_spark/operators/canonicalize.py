@@ -70,6 +70,7 @@ def connected_components(
     iters = 0
     for _ in range(max_iterations):
         iters += 1
+        # (1) hash-to-min through the bipartite edges: two shuffles.
         key_label = (
             e.join(labels, "eid")
             .groupBy("kid")
@@ -83,6 +84,19 @@ def connected_components(
         merged = labels.join(new_labels, "eid", "left").select(
             "eid", F.least("label", F.coalesce("new_label", "label")).alias("label"),
             (F.col("new_label") < F.col("label")).alias("changed"),
+        )
+        # (2) pointer-jumping: label <- label(label). Labels are entity ids,
+        # so the mapping applies to itself; this halves chain depth each
+        # round, giving O(log n) convergence on pathological chains
+        # (the shortcutting step of hash-to-min, cf. PAPERS.md CC surveys).
+        l2 = merged.select(F.col("eid").alias("label"), F.col("label").alias("jump"))
+        merged = (
+            merged.join(l2, "label", "left")
+            .select(
+                "eid",
+                F.least("label", F.coalesce("jump", "label")).alias("label"),
+                (F.col("changed") | (F.col("jump") < F.col("label"))).alias("changed"),
+            )
         )
         merged = merged.localCheckpoint()  # cut lineage growth per iteration
         n_changed = merged.where(F.col("changed")).count()

@@ -1,0 +1,172 @@
+"""Corpus deduplication operators — first-class components of a
+training-data pipeline at 100 TB (exact, MinHash-LSH, SimHash, n-gram
+Jaccard). All built-in expressions; hashes are md5-based so DuckDB /
+pure-Python oracles can reproduce results bit-for-bit.
+
+Scale notes:
+- exact dedup: one shuffle on the content hash (map-side partial agg).
+- MinHash-LSH: signatures are narrow per-row work; candidate pairing is
+  ONE shuffle keyed by band (each doc contributes `bands` rows, never the
+  O(n^2) cross join). Band width/count tuned for ~0.8 Jaccard threshold.
+- SimHash: narrow per-row 64-bit sketch + one shuffle on the sketch (or
+  on rotated prefixes for Hamming-neighbor search).
+- n-gram Jaccard verify: runs only on LSH candidate pairs (tiny set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands x 4 rows: s-curve threshold ~ (1/4)^(1/4) ~ 0.7
+SHINGLE_K = 3
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM-side)."""
+    toks = _tokens(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    surviving (min) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Per-doc MinHash signature + LSH band keys.
+
+    h_i(doc) = min over shingles of md5(i || ':' || shingle) — the min of a
+    uniform hash per seed, taken lexicographically over the hex digest.
+    Band key b_j = md5 of the concatenated signature slice.
+    """
+    sh = shingles(F.col(text_col)).alias("sh")
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    with_sig = df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return with_sig.select(F.col(id_col), *[F.col(f"mh{i}") for i in range(n_hashes)], *band_cols)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """LSH bucket-join: docs sharing any band key become a candidate pair.
+    Shuffle is keyed by band value — never a cross join."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, band_size)
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band"),
+    ).dropDuplicates()
+    a = bands.select(F.col("band"), F.col(id_col).alias("id_a"))
+    b = bands.select(F.col("band"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (default: LSH candidates).
+    Verification stage of the near-dup pipeline; only candidate pairs are
+    scored, so cost is O(candidates), not O(n^2)."""
+    if pairs is None:
+        pairs = minhash_candidate_pairs(df, text_col, id_col)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash sketch: per-token md5-derived bit pattern, majority vote per
+    bit. Narrow per-row computation (explode + two groupBys on id).
+
+    32 bits (not 64) so the per-bit integer stays exact in cross-engine
+    comparisons; near-dup lookup groups on the sketch or prefix bands.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
+    )
+    # token hash: first 8 hex chars of md5 -> 32-bit int
+    toks = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    bit_votes = toks.select(
+        F.col(id_col),
+        *[
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    ).groupBy(id_col).agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(bits)])
+    sketch = bit_votes.select(
+        F.col(id_col),
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sketch

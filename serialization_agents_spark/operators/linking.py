@@ -173,7 +173,9 @@ def link_mentions(
         F.when(
             F.col("auth_hit").isNotNull(), F.concat(F.lit("viaf:"), F.col("auth_hit.viaf_id"))
         ).otherwise(
-            F.concat(F.lit("noViaf:"), F.abs(F.xxhash64("name_norm")).cast("string"))
+            # md5 (not xxhash64) so pure-Python and DuckDB oracles can
+            # derive the identical key: noViaf:md5(name_norm)[:16]
+            F.concat(F.lit("noViaf:"), F.substring(F.md5(F.col("name_norm")), 1, 16))
         ),
     )
     return linked, dead

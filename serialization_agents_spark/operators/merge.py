@@ -88,7 +88,11 @@ def prepare_mention_facts(linked: DataFrame) -> DataFrame:
                 F.col("name_raw").alias("name"),
                 F.lower(F.coalesce("auth_hit.type", F.lit("personal"))).alias("type"),
                 F.col("source").alias("source"),
-                F.col("url").alias("id"),
+                # NOT the url: a per-url id would make every occurrence a
+                # distinct struct and blow the collect_set cap for head
+                # entities; the reference's `id` is the source-record id,
+                # which web pages don't have a stable analogue for.
+                F.lit(None).cast("string").alias("id"),
                 poverlap.alias("poverlap"),
                 fuzzy_alt.alias("fuzzy"),
             ),

@@ -5,7 +5,8 @@ lib/utils.js:238).
 
 Every stage that materializes writes LINEAGE_METRICS rows — (run_id,
 stage, partition_id, row_count, key_checksum) — alongside its output.
-`key_checksum = sum(xxhash64(key))` is order-independent, so two runs
+`key_checksum = bit_xor(xxhash64(key))` is order-independent (and
+overflow-free under ANSI arithmetic), so two runs
 (or a resumed run) producing the same rows produce the same checksum
 regardless of partitioning. This is what makes resume-from-checkpoint
 verifiable rather than hopeful.
@@ -23,7 +24,7 @@ def stage_metrics(df: DataFrame, run_id: str, stage: str, key_col: str) -> DataF
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("row_count"),
-            F.sum(F.xxhash64(key_col)).alias("key_checksum"),
+            F.bit_xor(F.xxhash64(key_col)).alias("key_checksum"),
         )
         .select(
             F.lit(run_id).alias("run_id"),
@@ -38,6 +39,6 @@ def stage_metrics(df: DataFrame, run_id: str, stage: str, key_col: str) -> DataF
 def global_checksum(df: DataFrame, key_col: str) -> tuple[int, int]:
     """(row_count, order-independent checksum) — for idempotence tests."""
     row = df.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64(key_col)).alias("c")
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64(key_col)).alias("c")
     ).collect()[0]
     return row["n"], row["c"] or 0

@@ -71,13 +71,21 @@ def run_pipeline(
     lang_filter: str | None = None,
     out_dir: str | None = None,
     run_id: str = "run0",
+    cache: bool = True,
 ) -> PipelineResult:
     resumed: list[str] = []
     computed: list[str] = []
 
     def materialize(df: DataFrame, stage: str, key_col: str) -> DataFrame:
-        """Write stage output + lineage if out_dir set; resume if present."""
+        """Write stage output + lineage if out_dir set; resume if present.
+
+        Without out_dir, fan-out stages are persisted in memory/disk so
+        the DAG is computed once, not once per downstream action —
+        `linked` feeds both the merge and the provenance triples.
+        """
         if out_dir is None:
+            if cache and stage in ("linked", "canonical"):
+                return df.persist()
             return df
         path = _stage_path(out_dir, stage)
         if _is_complete(out_dir, stage):

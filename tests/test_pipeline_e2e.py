@@ -1,0 +1,95 @@
+"""End-to-end gates:
+
+1. Spark triples vs the pure-Python oracle — precision/recall >= 0.95
+   (BASELINE.json north_rule; in practice they should be identical).
+2. Deterministic re-run: identical output checksums.
+3. Resume-from-checkpoint: killing after stage k and re-running skips
+   completed stages and yields byte-identical results.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from serialization_agents_spark import oracle, synth
+from serialization_agents_spark.plans.lineage import global_checksum
+from serialization_agents_spark.plans.pipeline import run_pipeline
+
+N_PAGES = 400
+N_AUTH = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synth.synth_pages(spark, n_pages=N_PAGES, n_auth=N_AUTH)
+    authority = synth.synth_authority(spark, n_auth=N_AUTH)
+    redirects = synth.synth_redirects(spark)
+    blacklist = synth.synth_blacklist(spark)
+    return pages, authority, redirects, blacklist
+
+
+def _pr(spark_triples: set, oracle_triples: set) -> tuple[float, float]:
+    tp = len(spark_triples & oracle_triples)
+    precision = tp / len(spark_triples) if spark_triples else 0.0
+    recall = tp / len(oracle_triples) if oracle_triples else 0.0
+    return precision, recall
+
+
+def test_triples_match_oracle(spark, corpus):
+    pages, authority, redirects, blacklist = corpus
+    res = run_pipeline(spark, pages, authority, redirects, blacklist)
+    spark_triples = {
+        (r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()
+    }
+
+    pages_rows = [r.asDict() for r in pages.collect()]
+    auth_rows = [r.asDict() for r in authority.collect()]
+    red_rows = [r.asDict() for r in redirects.collect()]
+    bl = [r["name"] for r in blacklist.collect()]
+    _, oracle_triples = oracle.run_oracle(pages_rows, auth_rows, red_rows, bl)
+
+    precision, recall = _pr(spark_triples, oracle_triples)
+    only_spark = list(spark_triples - oracle_triples)[:5]
+    only_oracle = list(oracle_triples - spark_triples)[:5]
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.4f} R={recall:.4f}\n+spark {only_spark}\n+oracle {only_oracle}"
+    )
+
+
+def test_rerun_is_deterministic(spark, corpus):
+    pages, authority, redirects, blacklist = corpus
+    r1 = run_pipeline(spark, pages, authority, redirects, blacklist)
+    r2 = run_pipeline(spark, pages, authority, redirects, blacklist)
+    c1 = global_checksum(
+        r1.triples.select(F.concat_ws("", "subj", "pred", "obj").alias("k")), "k"
+    )
+    c2 = global_checksum(
+        r2.triples.select(F.concat_ws("", "subj", "pred", "obj").alias("k")), "k"
+    )
+    assert c1 == c2
+
+
+def test_resume_from_checkpoint(spark, corpus, tmp_path):
+    pages, authority, redirects, blacklist = corpus
+    out = str(tmp_path / "ckpt")
+
+    full = run_pipeline(spark, pages, authority, redirects, blacklist, out_dir=out)
+    assert full.stages_computed and not full.stages_resumed
+    want = global_checksum(
+        full.triples.select(F.concat_ws("", "subj", "pred", "obj").alias("k")), "k"
+    )
+
+    # simulate a crash after 'linked': drop everything later
+    for stage in ["agents", "canonical", "triples"]:
+        shutil.rmtree(f"{out}/{stage}", ignore_errors=True)
+
+    resumed = run_pipeline(spark, pages, authority, redirects, blacklist, out_dir=out)
+    assert set(resumed.stages_resumed) >= {"extract", "mentions", "linked"}
+    assert set(resumed.stages_computed) == {"agents", "canonical", "triples"}
+    got = global_checksum(
+        resumed.triples.select(F.concat_ws("", "subj", "pred", "obj").alias("k")), "k"
+    )
+    assert got == want
