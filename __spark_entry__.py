@@ -289,10 +289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def o4_sessionize(spark, sf):
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        # exact integer microseconds in both engines (no float epoch())
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        gap = us - F.lag(us).over(w)
         flagged = ev.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
         )
         return flagged.groupBy("user_id").agg(
             F.sum("new_session").alias("n_sessions"),
@@ -341,8 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return docs.select(
             "doc_id",
-            T.token_count(F.col("text")).alias("ws_tokens"),
-            T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+            T.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+            T.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
         )
 
     def text_fingerprint(spark, sf):
@@ -509,9 +511,9 @@ def oracle_sql() -> dict[str, str]:
         "a6_distinct_pairs": "SELECT DISTINCT lang, source FROM documents",
         "o4_sessionize": (
             "WITH g AS (SELECT user_id, event_id, "
-            "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
             "FROM events) "
-            "SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions, "
+            "SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions, "
             "count(*) AS n_events FROM g GROUP BY user_id"
         ),
         "dedup_exact": (

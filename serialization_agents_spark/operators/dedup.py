@@ -65,10 +65,15 @@ def minhash_signatures(
     Band key b_j = md5 of the concatenated signature slice.
     """
     sh = shingles(F.col(text_col)).alias("sh")
+
+    def _mh(seed: int):
+        # NB: a two-arg lambda to F.transform would receive (element, index)
+        # — bind the seed via closure, single-arg lambda only.
+        prefix = f"{seed}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("sh"), _mh(i))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     with_sig = df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)

@@ -62,7 +62,10 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),  # BIGINT parity w/ SQL engines
+        )
     )
 
 
@@ -123,5 +126,8 @@ def lsh_bucket_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select(
+            "query_id", "neighbor_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
