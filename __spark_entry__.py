@@ -118,9 +118,12 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
     authority = _kg_authority(spark, sf_dir)
     mentions = detect_mentions(pages)
     linked, _dead = link_mentions(mentions, authority)
+    # persist the fan-out frames: `linked` feeds merge + provenance
+    # triples; `canonical` feeds 7 union branches in materialize_triples.
     linked = linked.persist()
     agents = merge_entities(linked)
     canonical, _iters = canonicalize_agents(agents)
+    canonical = canonical.persist()
     return linked, agents, canonical
 
 

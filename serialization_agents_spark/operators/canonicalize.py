@@ -59,7 +59,22 @@ def connected_components(
     `component` is the min xxhash64 over the entity's component — stable
     across runs and partitionings (never a partition-dependent id).
     """
-    e = edges.select(
+    all_nodes = edges.select("entity_key").dropDuplicates()
+
+    # Only keys shared by >= 2 entities can merge anything; everything else
+    # is a singleton component and never enters the loop. On real corpora
+    # this shrinks the iterated set by orders of magnitude (most entities
+    # collide with nobody), so each iteration shuffles only actual
+    # merge-candidates.
+    shared_keys = (
+        edges.groupBy("merge_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("merge_key")
+    )
+    active = edges.join(shared_keys, "merge_key", "left_semi")
+
+    e = active.select(
         "entity_key",
         F.xxhash64("entity_key").alias("eid"),
         F.xxhash64("merge_key").alias("kid"),
@@ -68,6 +83,13 @@ def connected_components(
     labels = e.select("eid", F.col("eid").alias("label")).dropDuplicates(["eid"])
 
     iters = 0
+    if e.isEmpty():  # nothing shares a key: all singletons, skip the loop
+        return (
+            all_nodes.select(
+                "entity_key", F.xxhash64("entity_key").alias("component")
+            ),
+            iters,
+        )
     for _ in range(max_iterations):
         iters += 1
         # (1) hash-to-min through the bipartite edges: two shuffles.
@@ -105,10 +127,14 @@ def connected_components(
             break
 
     ids = e.select("entity_key", "eid").dropDuplicates(["eid"])
-    return (
-        ids.join(labels, "eid").select("entity_key", F.col("label").alias("component")),
-        iters,
+    active_labels = ids.join(labels, "eid").select(
+        "entity_key", F.col("label").alias("component")
     )
+    # Singletons keep their own hash as component id.
+    singleton_labels = all_nodes.join(
+        active_labels.select("entity_key"), "entity_key", "left_anti"
+    ).select("entity_key", F.xxhash64("entity_key").alias("component"))
+    return active_labels.unionByName(singleton_labels), iters
 
 
 def _argmin_field(prio: F.Column, value: F.Column, name: str) -> F.Column:
@@ -127,8 +153,43 @@ def canonicalize_agents(
     agents, cc_iterations). Input is `merge_entities` output."""
     edges = build_merge_edges(agents)
     labels, iters = connected_components(edges, max_iterations)
+    # labels is entity-scale and fans out into sizes/joins/two branches —
+    # pin it once so the CC result is not re-derived per reference.
+    labels = labels.localCheckpoint()
 
-    a = agents.join(labels, "entity_key")
+    # Singleton components (the overwhelming majority on real corpora) take
+    # a pure-projection fast path: the group-merge below runs interpreted
+    # (collect_set forces ObjectHashAggregate, which evaluates every
+    # aggregate expression per row without codegen), so keeping singletons
+    # out of it is a large constant-factor win at any scale.
+    comp_sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
+    lab2 = labels.join(comp_sizes, "component")
+    joined = agents.join(lab2, "entity_key").persist()
+
+    singles = joined.where(F.col("_csize") == 1).select(
+        F.lit(None).cast("long").alias("registry_id"),
+        "entity_key",
+        F.array_sort("viaf").alias("viaf"),
+        "is_controlled",
+        "name_controlled",
+        "wikidata",
+        "lc_id",
+        "ulan",
+        "dbpedia",
+        "birth",
+        "death",
+        "type",
+        F.array_sort("name_normalized").alias("name_normalized"),
+        F.array_sort("alt_forms").alias("alt_forms"),
+        F.array_sort("fast").alias("fast"),
+        F.array().cast("array<string>").alias("viaf_merged"),
+        F.array().cast("array<string>").alias("merge_source"),
+        "mention_count",
+        "source_priority",
+        "component",
+    )
+
+    a = joined.where(F.col("_csize") > 1).drop("_csize")
     # Priority inside a component: controlled entities beat noViaf ones,
     # then lower source_priority, then lexicographic key (determinism).
     prio = F.struct(
@@ -197,4 +258,4 @@ def canonicalize_agents(
         "source_priority",
         "component",
     )
-    return canonical, iters
+    return singles.unionByName(canonical), iters

@@ -131,23 +131,39 @@ def link_mentions(
     m = m.withColumn("auth_hit", F.coalesce("auth_v", "auth_l")).drop("auth_v", "auth_l")
 
     # --- J4: normalized-name block + fuzzy top-1 for the rest ------------
-    name_keys = authority.select(
-        F.explode("normalized").alias("name_norm"),
-        F.struct(*_AUTH_COLS).alias("auth_n"),
+    # Candidates are PRE-GROUPED per blocking key so the common case (0 or
+    # 1 candidate in the block) is a plain broadcast join with NO explode,
+    # NO window shuffle, and NO Python. Only multi-candidate blocks — a
+    # tiny, zipf-tail fraction — pay the string_score UDF + per-mention
+    # argmax (reference semantics, lib/utils.js:53-61: the block requires
+    # exact normalized-name equality, the fuzzy score only breaks ties).
+    name_groups = (
+        authority.select(
+            F.explode("normalized").alias("name_norm"),
+            F.struct(*_AUTH_COLS).alias("auth_n"),
+        )
+        .groupBy("name_norm")
+        .agg(F.array_sort(F.collect_list("auth_n")).alias("cands"))
     )
     unmatched = m.where(F.col("auth_hit").isNull()).drop("auth_hit")
-    cands = unmatched.join(broadcast(name_keys), "name_norm", "left")
-    # Fuzzy argmax (reference lib/utils.js:53-61): score(normalized mention
-    # name, normalized candidate controlled term); candidates already share
-    # the blocking key, so scores only break ties within a block.
-    cands = cands.withColumn(
+    blocked = unmatched.join(broadcast(name_groups), "name_norm", "left").withColumn(
+        "n_cands", F.coalesce(F.size("cands"), F.lit(0))
+    )
+
+    single = blocked.where(F.col("n_cands") <= 1).select(
+        *unmatched.columns,
+        F.element_at("cands", 1).alias("auth_hit"),
+        F.lit(None).cast("double").alias("fuzzy"),
+    )
+
+    multi = blocked.where(F.col("n_cands") > 1).select(
+        *unmatched.columns, F.explode("cands").alias("auth_n")
+    )
+    multi = multi.withColumn(
         "fuzzy",
-        F.when(
-            F.col("auth_n").isNotNull(),
-            fuzzy_score_udf(
-                F.col("name_norm"),
-                F.lower(F.coalesce("auth_n.lc_term", "auth_n.viaf_term")),
-            ),
+        fuzzy_score_udf(
+            F.col("name_norm"),
+            F.lower(F.coalesce("auth_n.lc_term", "auth_n.viaf_term")),
         ),
     )
     from pyspark.sql.window import Window
@@ -155,17 +171,18 @@ def link_mentions(
     w = Window.partitionBy("mention_id").orderBy(
         F.desc_nulls_last("fuzzy"), F.asc("auth_n.viaf_id")
     )
-    best = (
-        cands.withColumn("rn", F.row_number().over(w))
+    multi_best = (
+        multi.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
         .withColumnRenamed("auth_n", "auth_hit")
+        .select(*single.columns)
     )
 
     matched = m.where(F.col("auth_hit").isNotNull()).withColumn(
         "fuzzy", F.lit(None).cast("double")
-    )
-    linked = matched.unionByName(best)
+    ).select(*single.columns)
+    linked = matched.unionByName(single).unionByName(multi_best)
 
     # --- entity key: deterministic, order-free ----------------------------
     linked = linked.withColumn(

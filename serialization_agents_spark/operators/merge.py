@@ -52,20 +52,15 @@ def strip_spirit(col: Column) -> Column:
 
 def prepare_mention_facts(linked: DataFrame) -> DataFrame:
     """Per-mention derived columns needed by the merge, all computed BEFORE
-    the shuffle so the aggregation itself is pure built-ins."""
-    controlled_guess = F.coalesce(
-        strip_spirit(F.col("auth_hit.lc_term")),
-        F.col("auth_hit.viaf_term"),
-        F.col("name_raw"),
-    )
-    # Scores for altForms metadata (X2/X3). Trivial case short-circuits to
-    # the reference's literal 100 / 1.0 (lib/utils_shadowcat.js:401).
-    poverlap = F.when(F.col("name_raw") == controlled_guess, F.lit(100.0)).otherwise(
-        percent_overlap_udf(F.col("name_raw"), controlled_guess)
-    )
-    fuzzy_alt = F.when(F.col("name_raw") == controlled_guess, F.lit(1.0)).otherwise(
-        fuzzy_score_udf(normalize_name_expr(controlled_guess), F.col("name_norm"))
-    )
+    the shuffle so the aggregation itself is pure built-ins.
+
+    alt_form scores (X2/X3) are intentionally NOT computed here: a
+    per-mention Python stage over the 100 TB fact table would dominate the
+    job. `score_alt_forms` fills them after canonicalization, on one row
+    per (entity, distinct alt name) — which also matches the reference
+    more closely (scores are vs the final nameControlled,
+    lib/utils_shadowcat.js:247).
+    """
     # Name-precedence candidate for this row: (rank, value); min() over the
     # group implements lcTerm > viafTerm > local-name coalescing.
     name_pref = F.when(
@@ -93,8 +88,8 @@ def prepare_mention_facts(linked: DataFrame) -> DataFrame:
                 # entities; the reference's `id` is the source-record id,
                 # which web pages don't have a stable analogue for.
                 F.lit(None).cast("string").alias("id"),
-                poverlap.alias("poverlap"),
-                fuzzy_alt.alias("fuzzy"),
+                F.lit(None).cast("double").alias("poverlap"),  # score_alt_forms
+                F.lit(None).cast("double").alias("fuzzy"),     # fills these
             ),
         )
     )
@@ -164,3 +159,54 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
         F.col("mention_count"),
         F.col("source_priority"),
     )
+
+
+def score_alt_forms(agents: DataFrame) -> DataFrame:
+    """Fill altForms poverlap/fuzzy (X2/X3) against the final controlled
+    name — the reference computes them at upsert time vs the agent's
+    nameControlled (/root/reference/lib/utils_shadowcat.js:247,401).
+
+    Runs on one row per (entity, distinct alt name) — entity-scale data,
+    NOT mention-scale — so the Arrow/pandas stage is tiny. Trivial case
+    (name == controlled) short-circuits to the reference's literal
+    100 / 1.0 without touching Python.
+    """
+    has_alt = agents.where(F.size("alt_forms") > 0)
+    no_alt = agents.where(F.size("alt_forms") == 0)
+
+    af = has_alt.select(
+        "entity_key", "name_controlled", F.explode("alt_forms").alias("af")
+    )
+    same = F.col("af.name") == F.col("name_controlled")
+    scored = af.select(
+        "entity_key",
+        F.struct(
+            F.col("af.name").alias("name"),
+            F.col("af.type").alias("type"),
+            F.col("af.source").alias("source"),
+            F.col("af.id").alias("id"),
+            F.when(same, F.lit(100.0))
+            .otherwise(percent_overlap_udf(F.col("af.name"), F.col("name_controlled")))
+            .alias("poverlap"),
+            F.when(same, F.lit(1.0))
+            .otherwise(
+                fuzzy_score_udf(
+                    normalize_name_expr(F.col("name_controlled")),
+                    normalize_name_expr(F.col("af.name")),
+                )
+            )
+            .alias("fuzzy"),
+        ).alias("af"),
+    )
+    collected = scored.groupBy("entity_key").agg(
+        F.array_sort(F.collect_list("af")).alias("_alt_scored")
+    )
+    rescored = (
+        has_alt.join(collected, "entity_key", "left")
+        .withColumn(
+            "alt_forms",
+            F.coalesce("_alt_scored", F.col("alt_forms")),
+        )
+        .drop("_alt_scored")
+    )
+    return no_alt.unionByName(rescored)

@@ -35,7 +35,7 @@ from serialization_agents_spark.operators.enumerate_ids import enumerate_ids
 from serialization_agents_spark.operators.extract import with_extracted_text
 from serialization_agents_spark.operators.linking import link_mentions
 from serialization_agents_spark.operators.mentions import detect_mentions
-from serialization_agents_spark.operators.merge import merge_entities
+from serialization_agents_spark.operators.merge import merge_entities, score_alt_forms
 from serialization_agents_spark.operators.triples import materialize_triples
 from serialization_agents_spark.plans.lineage import stage_metrics
 
@@ -117,6 +117,9 @@ def run_pipeline(
     agents = materialize(agents, "agents", "entity_key")
 
     canonical, iters = canonicalize_agents(agents)
+    canonical = score_alt_forms(canonical)  # X2/X3 on entity-scale rows
+    if out_dir is None and cache:
+        canonical = canonical.persist()  # 7 union branches read it below
     canonical = enumerate_ids(canonical, order_col="entity_key")
     canonical = materialize(canonical, "canonical", "entity_key")
 

@@ -113,8 +113,16 @@ def authority_records(n_auth: int = 400) -> list[dict]:
         else:
             first = FIRST_NAMES[(i * 7) % len(FIRST_NAMES)]
             last = LAST_NAMES[(i * 13) % len(LAST_NAMES)]
-            display = f"{first} {last}"
-            viaf_term = f"{last}, {first}"
+            # Mostly-unique names (middle initial), with a deliberate ~6%
+            # collision rate (i % 17 == 0 drops the initial) so the
+            # name-conflict merge path (A5/CC) stays exercised.
+            if i % 17 == 0:
+                display = f"{first} {last}"
+                viaf_term = f"{last}, {first}"
+            else:
+                mid = chr(65 + (i * 3) % 26)
+                display = f"{first} {mid}. {last}"
+                viaf_term = f"{last}, {first} {mid}."
         birth = 1750 + (i * 11) % 200
         death = birth + 40 + (i * 3) % 45
         has_lc = (i % 10) < 7
@@ -221,10 +229,19 @@ def synth_pages(
 
     `text` is pre-extracted for ~70% of rows and NULL otherwise (forcing
     the extraction path); `lang` is 85% 'en' with de/fr/es tails.
+
+    Implementation note: authority picks are resolved through broadcast
+    JOINS against a small (idx, name, viaf) dimension — NOT through
+    element_at over a literal array. A plan carrying n_auth inline
+    literals makes every downstream Catalyst analysis pass O(n_auth),
+    which dominates wall time for every action whose lineage includes the
+    generator.
     """
     auth = authority_records(n_auth)
-    names = F.array(*[F.lit(r["_display"]) for r in auth])
-    viafs = F.array(*[F.lit(r["viaf_id"]) for r in auth])
+    dim = spark.createDataFrame(
+        [(i, r["_display"], r["viaf_id"]) for i, r in enumerate(auth)],
+        "idx int, dim_name string, dim_viaf string",
+    )
 
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     cid = F.col("id")
@@ -234,25 +251,39 @@ def synth_pages(
         u = _h(cid, tag, 1_000_000) / F.lit(1_000_000.0)
         return (u * u * F.lit(n_auth)).cast("int")
 
-    def slot(tag: str, present: Column) -> tuple[Column, Column, Column]:
-        idx = pick(tag)
-        name = F.element_at(names, idx + 1)
-        viaf = F.element_at(viafs, idx + 1)
+    df = (
+        df.withColumn("idx1", pick("m1"))
+        .withColumn("idx2", pick("m2"))
+        .join(
+            F.broadcast(dim.select(F.col("idx").alias("idx1"),
+                                   F.col("dim_name").alias("name1"),
+                                   F.col("dim_viaf").alias("viaf1"))),
+            "idx1",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("idx").alias("idx2"),
+                                   F.col("dim_name").alias("name2"),
+                                   F.col("dim_viaf").alias("viaf2"))),
+            "idx2",
+        )
+    )
+
+    def slot(tag: str, present: Column, name: Column, viaf: Column):
         hinted = _h(cid, tag + "_hint", 100) < 60
         html = F.when(present, _mention_html(name, viaf, hinted))
         text = F.when(present, _mention_text(name))
-        return html, text, name
+        return html, text
 
     celeb_present = _h(cid, "celeb", 100) < 10
-    celeb_name = F.element_at(names, 1)
-    celeb_viaf = F.element_at(viafs, 1)
+    celeb_name = F.lit(auth[0]["_display"])
+    celeb_viaf = F.lit(auth[0]["viaf_id"])
     celeb_hinted = _h(cid, "celeb_hint", 100) < 60
     c_html = F.when(celeb_present, _mention_html(celeb_name, celeb_viaf, celeb_hinted))
     c_text = F.when(celeb_present, _mention_text(celeb_name))
 
-    s1_html, s1_text, _ = slot("m1", F.lit(True))
+    s1_html, s1_text = slot("m1", F.lit(True), F.col("name1"), F.col("viaf1"))
     s2_present = _h(cid, "p2", 100) < 60
-    s2_html, s2_text, _ = slot("m2", s2_present)
+    s2_html, s2_text = slot("m2", s2_present, F.col("name2"), F.col("viaf2"))
 
     noise_present = _h(cid, "pn", 100) < 25
     noise_name = F.format_string("Unlisted Person %d", _h(cid, "noise", n_noise))
