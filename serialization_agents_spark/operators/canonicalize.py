@@ -80,16 +80,46 @@ def connected_components(
         F.xxhash64("merge_key").alias("kid"),
     ).localCheckpoint()
 
-    labels = e.select("eid", F.col("eid").alias("label")).dropDuplicates(["eid"])
-
     iters = 0
-    if e.isEmpty():  # nothing shares a key: all singletons, skip the loop
+    n_active = e.count()
+    if n_active == 0:  # nothing shares a key: all singletons, skip the loop
         return (
             all_nodes.select(
                 "entity_key", F.xxhash64("entity_key").alias("component")
             ),
             iters,
         )
+
+    # The loop operates on ENTITY-scale data (orders of magnitude smaller
+    # than the corpus). Its per-iteration cost is stage/task overhead, not
+    # compute, so stage width is sized from the active-edge count — NOT
+    # from spark.sql.shuffle.partitions, which is sized for the fact
+    # table. Without this, higher core counts make the loop SLOWER.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    cc_parts = max(8, min(int(old_parts), n_active // 100_000 + 1))
+    spark.conf.set(conf_key, str(cc_parts))
+
+    labels = e.select("eid", F.col("eid").alias("label")).dropDuplicates(["eid"])
+    try:
+        labels, iters = _cc_loop(e, labels, max_iterations)
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    ids = e.select("entity_key", "eid").dropDuplicates(["eid"])
+    active_labels = ids.join(labels, "eid").select(
+        "entity_key", F.col("label").alias("component")
+    )
+    # Singletons keep their own hash as component id.
+    singleton_labels = all_nodes.join(
+        active_labels.select("entity_key"), "entity_key", "left_anti"
+    ).select("entity_key", F.xxhash64("entity_key").alias("component"))
+    return active_labels.unionByName(singleton_labels), iters
+
+
+def _cc_loop(e: DataFrame, labels: DataFrame, max_iterations: int):
+    iters = 0
     for _ in range(max_iterations):
         iters += 1
         # (1) hash-to-min through the bipartite edges: two shuffles.
@@ -125,16 +155,7 @@ def connected_components(
         labels = merged.select("eid", "label")
         if n_changed == 0:
             break
-
-    ids = e.select("entity_key", "eid").dropDuplicates(["eid"])
-    active_labels = ids.join(labels, "eid").select(
-        "entity_key", F.col("label").alias("component")
-    )
-    # Singletons keep their own hash as component id.
-    singleton_labels = all_nodes.join(
-        active_labels.select("entity_key"), "entity_key", "left_anti"
-    ).select("entity_key", F.xxhash64("entity_key").alias("component"))
-    return active_labels.unionByName(singleton_labels), iters
+    return labels, iters
 
 
 def _argmin_field(prio: F.Column, value: F.Column, name: str) -> F.Column:
@@ -189,7 +210,16 @@ def canonicalize_agents(
         "component",
     )
 
-    a = joined.where(F.col("_csize") > 1).drop("_csize")
+    # The heavy merge below is entity-scale; pre-partition it on the group
+    # key with a width sized to the (small) multi-member row count so the
+    # groupBy reuses the partitioning instead of a full-width exchange.
+    n_multi = joined.where(F.col("_csize") > 1).count()
+    agg_parts = max(8, n_multi // 100_000 + 1)
+    a = (
+        joined.where(F.col("_csize") > 1)
+        .drop("_csize")
+        .repartition(agg_parts, "component")
+    )
     # Priority inside a component: controlled entities beat noViaf ones,
     # then lower source_priority, then lexicographic key (determinism).
     prio = F.struct(

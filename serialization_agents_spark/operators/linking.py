@@ -42,6 +42,9 @@ from pyspark.sql.functions import broadcast
 
 from serialization_agents_spark.functions.normalize import fuzzy_score_udf
 
+# Max concurrent tasks for Arrow/pandas UDF stages (worker-import bound).
+PY_STAGE_PARTITIONS = 8
+
 _AUTH_COLS = [
     "viaf_id", "viaf_all", "type", "lc_id", "getty_id", "wikidata_id",
     "lc_term", "viaf_term", "birth", "death", "dbpedia_id", "normalized", "fast",
@@ -156,9 +159,14 @@ def link_mentions(
         F.lit(None).cast("double").alias("fuzzy"),
     )
 
+    # Cap Python-stage parallelism: each Arrow worker pays a one-time
+    # import cost, and dozens importing concurrently thrash the fs cache
+    # (the reference bounds its slow path the same way — .parallel(5),
+    # lib/utils_shadowcat.js:27). The multi-candidate set is tiny, so 8
+    # tasks lose nothing.
     multi = blocked.where(F.col("n_cands") > 1).select(
         *unmatched.columns, F.explode("cands").alias("auth_n")
-    )
+    ).repartition(PY_STAGE_PARTITIONS, "mention_id")
     multi = multi.withColumn(
         "fuzzy",
         fuzzy_score_udf(

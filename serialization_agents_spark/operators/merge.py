@@ -176,7 +176,7 @@ def score_alt_forms(agents: DataFrame) -> DataFrame:
 
     af = has_alt.select(
         "entity_key", "name_controlled", F.explode("alt_forms").alias("af")
-    )
+    ).repartition(8, "entity_key")  # bound Arrow-worker concurrency
     same = F.col("af.name") == F.col("name_controlled")
     scored = af.select(
         "entity_key",

@@ -16,77 +16,78 @@ triple surface is our KG materialization of the same content:
   the analogue of the reference writing the resolved agent back into the
   source bib, lib/utils_shadowcat.js:112-144)
 
-All narrow ops (select + explode + union) over already-aggregated data:
-no shuffle is introduced by materialization.
+Plan shape: ALL agent-level triples are built as ONE per-row array of
+(pred, obj) structs followed by ONE explode — a single narrow stage, no
+unions, no per-branch scans, no dedup shuffles (labels are deduped
+per-row with array ops). Only the provenance edges add a shuffle (their
+dedup is cross-row by nature) plus one merged-key remap join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 AGENT_IRI_PREFIX = "registry:agent/"
 
 
-def agent_iri(col) -> F.Column:
+def agent_iri(col) -> Column:
     return F.concat(F.lit(AGENT_IRI_PREFIX), col)
 
 
-def materialize_triples(canonical: DataFrame, linked: DataFrame | None = None) -> DataFrame:
-    subj = agent_iri(F.col("entity_key"))
+def _po(pred: str, obj: Column) -> Column:
+    return F.struct(F.lit(pred).alias("pred"), obj.alias("obj"))
 
-    types = canonical.select(
-        subj.alias("subj"),
-        F.lit("rdf:type").alias("pred"),
+
+def materialize_triples(canonical: DataFrame, linked: DataFrame | None = None) -> DataFrame:
+    type_obj = (
         F.when(F.col("type") == "corporate", "foaf:Organization")
         .otherwise("foaf:Person")
-        .alias("obj"),
     )
-
-    pref = canonical.where(F.col("name_controlled").isNotNull()).select(
-        subj.alias("subj"),
-        F.lit("skos:prefLabel").alias("pred"),
-        F.col("name_controlled").alias("obj"),
+    # distinct alt names differing from the prefLabel, deduped per-row
+    alt_names = F.array_except(
+        F.array_distinct(F.transform("alt_forms", lambda a: a["name"])),
+        F.array(F.col("name_controlled")),
     )
-
-    alt = (
-        canonical.select(
-            subj.alias("subj"), F.col("name_controlled"),
-            F.explode("alt_forms").alias("af"),
-        )
-        .where(F.col("af.name") != F.col("name_controlled"))
-        .select("subj", F.lit("skos:altLabel").alias("pred"), F.col("af.name").alias("obj"))
-        .dropDuplicates()
+    entries = F.concat(
+        F.array(_po("rdf:type", type_obj)),
+        F.when(
+            F.col("name_controlled").isNotNull(),
+            F.array(_po("skos:prefLabel", F.col("name_controlled"))),
+        ).otherwise(F.array().cast("array<struct<pred:string,obj:string>>")),
+        F.transform(alt_names, lambda n: _po("skos:altLabel", n)),
+        F.transform(
+            "viaf",
+            lambda v: _po("owl:sameAs", F.concat(F.lit("http://viaf.org/viaf/"), v)),
+        ),
+        F.filter(
+            F.array(
+                _po(
+                    "owl:sameAs",
+                    F.concat(F.lit("http://www.wikidata.org/entity/"), F.col("wikidata")),
+                ),
+                _po(
+                    "owl:sameAs",
+                    F.concat(F.lit("http://dbpedia.org/resource/"), F.col("dbpedia")),
+                ),
+                _po(
+                    "owl:sameAs",
+                    F.concat(
+                        F.lit("http://id.loc.gov/authorities/names/"), F.col("lc_id")
+                    ),
+                ),
+            ),
+            lambda e: e["obj"].isNotNull(),
+        ),
     )
-
-    same_viaf = canonical.select(subj.alias("subj"), F.explode("viaf").alias("id")).select(
-        "subj", F.lit("owl:sameAs").alias("pred"),
-        F.concat(F.lit("http://viaf.org/viaf/"), F.col("id")).alias("obj"),
-    )
-    scalar_links = []
-    for col, prefix in [
-        ("wikidata", "http://www.wikidata.org/entity/"),
-        ("dbpedia", "http://dbpedia.org/resource/"),
-        ("lc_id", "http://id.loc.gov/authorities/names/"),
-    ]:
-        scalar_links.append(
-            canonical.where(F.col(col).isNotNull()).select(
-                subj.alias("subj"), F.lit("owl:sameAs").alias("pred"),
-                F.concat(F.lit(prefix), F.col(col)).alias("obj"),
-            )
-        )
-
-    out = types.unionByName(pref).unionByName(alt).unionByName(same_viaf)
-    for df in scalar_links:
-        out = out.unionByName(df)
+    out = canonical.select(
+        agent_iri(F.col("entity_key")).alias("subj"), F.explode(entries).alias("e")
+    ).select("subj", F.col("e.pred").alias("pred"), F.col("e.obj").alias("obj"))
 
     if linked is not None:
-        contrib = linked.select(
-            F.col("url").alias("subj"),
-            F.lit("dct:contributor").alias("pred"),
-            agent_iri(F.col("entity_key")).alias("obj"),
-        ).dropDuplicates()
-        # remap merged entity keys to their canonical key
+        # provenance edges: dedup is inherently cross-row -> one shuffle;
+        # merged entity keys remapped to their canonical key via a join
+        # the optimizer may broadcast (entity-count-sized dimension).
         remap = canonical.select(
             F.explode(
                 F.array_union(F.array(F.col("entity_key")), F.col("merge_source"))
@@ -94,14 +95,13 @@ def materialize_triples(canonical: DataFrame, linked: DataFrame | None = None) -
             F.col("entity_key").alias("canonical_key"),
         )
         contrib = (
-            contrib.withColumn(
-                "member_key", F.expr(f"substring(obj, {len(AGENT_IRI_PREFIX) + 1})")
-            )
-            # entity-count-sized dimension: let AQE pick broadcast vs shuffle
+            linked.select(F.col("url").alias("subj"), F.col("entity_key").alias("member_key"))
+            .dropDuplicates()
             .join(remap, "member_key", "left")
             .select(
-                "subj", "pred",
-                F.coalesce(agent_iri(F.col("canonical_key")), F.col("obj")).alias("obj"),
+                "subj",
+                F.lit("dct:contributor").alias("pred"),
+                agent_iri(F.coalesce("canonical_key", "member_key")).alias("obj"),
             )
             .dropDuplicates()
         )

