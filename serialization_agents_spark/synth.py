@@ -218,6 +218,7 @@ def synth_pages(
     n_auth: int = 400,
     n_noise: int = 50,
     partitions: int | None = None,
+    html_kb: int = 2,
 ) -> DataFrame:
     """Distributed page generator. Each page gets 1-4 agent mentions:
 
@@ -291,9 +292,17 @@ def synth_pages(
     n_text = F.when(noise_present, _mention_text(noise_name))
 
     filler = F.format_string("Page %d of the example archive.", cid)
-    body_text = F.concat_ws(" ", c_text, s1_text, s2_text, n_text, filler)
+    # Realistic page weight (real crawl pages are tens of KB): padding
+    # prose that flows through extraction and mention scanning like any
+    # other body text. Deterministic, mention-free.
+    pad_unit = "lorem ipsum dolor sit amet consetetur sadipscing elitr sed diam nonumy "
+    n_units = max(1, (html_kb * 1024) // len(pad_unit))
+    padding = F.rtrim(F.repeat(F.lit(pad_unit), n_units))
+    body_text = F.concat_ws(" ", c_text, s1_text, s2_text, n_text, filler, padding)
     body_html = F.concat_ws(
-        "", c_html, s1_html, s2_html, n_html, F.format_string("<p>%s</p>", filler)
+        "", c_html, s1_html, s2_html, n_html,
+        F.format_string("<p>%s</p>", filler),
+        F.concat(F.lit("<p>"), padding, F.lit("</p>")),
     )
     html = F.concat(
         F.lit("<html><head><title>Example</title>"

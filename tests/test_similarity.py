@@ -1,0 +1,48 @@
+"""Similarity search: brute-force exactness, LSH recall of the top match."""
+
+from __future__ import annotations
+
+import math
+
+from serialization_agents_spark.operators import similarity as S
+
+
+def _emb(spark):
+    # 8-dim vectors: 0/1 nearly parallel, 2 orthogonal-ish, 3 opposite of 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0, -0.5, 0.0, 0.0, 0.0]),
+        (4, [0.85, 0.15, 0.05, 0.0, 0.5, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    corpus = emb.where("vec_id != 0")
+    out = S.cosine_topk(corpus, q, k=3, round_digits=None).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] in (1, 4) and order[1] in (1, 4)  # the two near-parallels
+    assert order[2] == 2
+    # verify the actual cosine value against numpy-free math
+    a = [1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0]
+    b = [0.9, 0.1, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0]
+    want = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    got = {r["neighbor_id"]: r["cosine"] for r in out}[1]
+    assert abs(got - want) < 1e-9
+
+
+def test_lsh_bucket_topk_finds_parallel_vector(spark):
+    emb = _emb(spark)
+    q = emb.where("vec_id = 0")
+    corpus = emb.where("vec_id != 0")
+    out = S.lsh_bucket_topk(corpus, q, k=3, n_planes=4, dim=8).collect()
+    # sign-signature of near-parallel vectors matches the query's bucket
+    ids = {r["neighbor_id"] for r in out}
+    assert 1 in ids or 4 in ids
+    assert 3 not in ids  # opposite vector lands in the complement bucket

@@ -34,7 +34,12 @@ spark = get_spark(
 )
 spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
 
-pages = synth.synth_pages(spark, n_pages=n_pages, n_auth=2000, partitions=cores * 3)
+html_kb = int(os.environ.get("BENCH_HTML_KB", "30"))
+pages = synth.synth_pages(
+    spark, n_pages=n_pages, n_auth=2000,
+    partitions=max(cores * 3, 16),  # bound per-partition bytes at low core counts
+    html_kb=html_kb,
+)
 authority = synth.synth_authority(spark, n_auth=2000)
 redirects = synth.synth_redirects(spark)
 blacklist = synth.synth_blacklist(spark)
@@ -68,6 +73,13 @@ def run_at(cores: int, n_pages: int) -> dict:
     return json.loads(lines[-1])
 
 
+def _burn(_):
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return x
+
+
 def cpu_ceiling(n: int) -> float:
     """Measured parallel-CPU capacity at n processes relative to 1
     (captures SMT / shared-host throttling so the pipeline's efficiency
@@ -75,15 +87,9 @@ def cpu_ceiling(n: int) -> float:
     import multiprocessing as mp
     import time
 
-    def burn(_):
-        x = 0
-        for i in range(10_000_000):
-            x += i * i
-        return x
-
     t0 = time.time()
     with mp.Pool(n) as p:
-        p.map(burn, range(n))
+        p.map(_burn, range(n))
     return time.time() - t0
 
 
