@@ -26,51 +26,109 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Plan-build-time scalars and the heavy kg pipeline are memoized per
+# (spark app, sf_dir): the kg_* suite shares one linked/canonical DAG
+# instead of re-deriving it per query (and customer counts are read once,
+# not once per plan build).
+_KG_N: dict[tuple[str, str], int] = {}
+_KG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _kg_customer_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KG_N:
+        _KG_N[key] = _t(spark, sf_dir, "customer").count()
+    return _KG_N[key]
+
+
 # ---------------------------------------------------------------------------
 # KG flagship: pages derived deterministically from documents x customer.
 # Every value is a pure function of (doc_id, customer count), so the DuckDB
 # oracle can reproduce the whole pipeline analytically.
+#
+# Mention-1 markup branches (per doc_id d, ck1 = (d*37) % n):
+#   A d%6==0              stale VIAF hint ck1+9000000  (J6/S11 redirects path)
+#   B d%2==0, d%6!=0      live VIAF hint ck1           (J1 path)
+#   C d odd, ck1 even     LCNAF URI only, name "Agent <ck1>"  (P3/J2 path —
+#                         the name intentionally misses the name block)
+#   D d odd, ck1 odd      plain span, UPPER(name)      (J4 name path)
+# Plus: secondary mention (d%3==0), noise span (d%5==0), and a subject
+# block (P4): name-typed subject at d%7==0, topic-typed at d%7==3.
 # ---------------------------------------------------------------------------
 def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     cust = _t(spark, sf_dir, "customer")
-    n = cust.count()
+    n = _kg_customer_count(spark, sf_dir)
     d = F.col("doc_id")
     base = (
-        docs.withColumn("ck1", (d * 37) % n)
+        # the (d%7)*11 term decouples ck1's parity/mod-3 class from d's, so
+        # every markup branch below is non-empty at every sf (a pure-linear
+        # key collapses: n % 6 == 0 forces ck1 odd for odd d, etc.)
+        docs.withColumn("ck1", (d * 37 + (d % 7) * 11) % n)
         .withColumn("ck2", F.when(d % 3 == 0, (d * 53 + 11) % n))
-        .withColumn("hinted1", d % 2 == 0)
+        .withColumn("ck3", F.when(d % 7 == 0, (d * 11 + 3) % n))
+        .withColumn("stale1", d % 6 == 0)
+        .withColumn("vhint1", (d % 2 == 0) & (d % 6 != 0))
+        .withColumn("lchint1", (d % 2 == 1) & (F.col("ck1") % 2 == 0))
         .withColumn("hinted2", d % 4 == 0)
         .withColumn("noise", F.when(d % 5 == 0, F.format_string("Unlisted Person %d", d % 37)))
     )
     c1 = cust.select(F.col("c_custkey").alias("ck1"), F.col("c_name").alias("name1"))
     c2 = cust.select(F.col("c_custkey").alias("ck2"), F.col("c_name").alias("name2"))
-    base = base.join(broadcast(c1), "ck1").join(broadcast(c2), "ck2", "left")
+    c3 = cust.select(F.col("c_custkey").alias("ck3"), F.col("c_name").alias("name3"))
+    base = (
+        base.join(broadcast(c1), "ck1")
+        .join(broadcast(c2), "ck2", "left")
+        .join(broadcast(c3), "ck3", "left")
+    )
 
-    def span(hinted, ck, name):
-        return F.when(
-            hinted,
-            F.format_string(
-                '<p>Work by <span class="agent" data-viaf="%s">%s</span> reviewed.</p>',
-                ck.cast("string"), name,
-            ),
-        ).otherwise(
-            F.format_string(
-                '<p>Work by <span class="agent">%s</span> reviewed.</p>', F.upper(name)
-            )
+    def span_viaf(ck, name):
+        return F.format_string(
+            '<p>Work by <span class="agent" data-viaf="%s">%s</span> reviewed.</p>',
+            ck.cast("string"), name,
         )
 
-    s1 = span(F.col("hinted1"), F.col("ck1"), F.col("name1"))
-    s2 = F.when(
-        F.col("ck2").isNotNull(), span(F.col("hinted2"), F.col("ck2"), F.col("name2"))
+    def span_plain(name):
+        return F.format_string(
+            '<p>Work by <span class="agent">%s</span> reviewed.</p>', name
+        )
+
+    s1 = (
+        F.when(F.col("stale1"), span_viaf(F.col("ck1") + 9000000, F.col("name1")))
+        .when(F.col("vhint1"), span_viaf(F.col("ck1"), F.col("name1")))
+        .when(
+            F.col("lchint1"),
+            F.format_string(
+                '<p>Work by <span class="agent" data-lcnaf='
+                '"http://id.loc.gov/authorities/names/n%s">Agent %s</span> reviewed.</p>',
+                F.col("ck1").cast("string"), F.col("ck1").cast("string"),
+            ),
+        )
+        .otherwise(span_plain(F.upper(F.col("name1"))))
     )
-    sn = F.when(
-        F.col("noise").isNotNull(),
-        F.format_string('<p>Work by <span class="agent">%s</span> reviewed.</p>', F.col("noise")),
+    s2 = F.when(
+        F.col("ck2").isNotNull(),
+        F.when(F.col("hinted2"), span_viaf(F.col("ck2"), F.col("name2"))).otherwise(
+            span_plain(F.upper(F.col("name2")))
+        ),
+    )
+    sn = F.when(F.col("noise").isNotNull(), span_plain(F.col("noise")))
+    subj = F.when(
+        F.col("ck3").isNotNull(),
+        F.format_string(
+            '<p>Subjects: <span class="subject" data-type="name">%s</span></p>',
+            F.col("name3"),
+        ),
+    ).when(
+        d % 7 == 3,
+        F.format_string(
+            '<p>Theme: <span class="subject" data-type="topic">Theme T%d</span></p>',
+            d % 13,
+        ),
     )
     html = F.concat(
         F.lit("<html><head><title>D</title></head><body><nav>Site Nav</nav>"),
-        F.concat_ws("", s1, s2, sn),
+        F.concat_ws("", s1, s2, sn, subj),
         F.format_string("<p>Document %d.</p>", d),
         F.lit("<footer>(c) docs</footer></body></html>"),
     )
@@ -84,10 +142,21 @@ def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority dimension derived from `customer`.
+
+    Customers with c_custkey % 17 == 5 carry an EXTRA normalized form —
+    the normalized name of customer k-1 — so the k-1 name block holds TWO
+    candidates and kg_linked must run the fuzzy argmax (J4 multi-candidate
+    path) to pick the right one; the oracle encodes the analytically
+    provable winner (the near-exact candidate k-1 strictly out-scores k
+    under string_score).
+    """
     from serialization_agents_spark.functions.normalize import normalize_name_expr
 
     cust = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
+    norm = normalize_name_expr(F.col("c_name"))
+    collide = (k % 17 == 5) & (k >= 1)
     return cust.select(
         k.cast("string").alias("viaf_id"),
         F.array(k.cast("string")).alias("viaf_all"),
@@ -103,72 +172,127 @@ def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("birth"),
         F.lit(None).cast("string").alias("death"),
         F.lit(None).cast("string").alias("dbpedia_id"),
-        F.array(normalize_name_expr(F.col("c_name"))).alias("normalized"),
+        F.when(
+            collide, F.array(norm, F.format_string("customer %09d", k - 1))
+        ).otherwise(F.array(norm)).alias("normalized"),
         F.array().cast("array<long>").alias("fast"),
     )
 
 
-def _kg_canonical(spark: SparkSession, sf_dir: str):
-    from serialization_agents_spark.operators.canonicalize import canonicalize_agents
-    from serialization_agents_spark.operators.linking import link_mentions
-    from serialization_agents_spark.operators.mentions import detect_mentions
-    from serialization_agents_spark.operators.merge import merge_entities
+def _kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static VIAF-redirects dimension (stands in for the reference's live
+    probes, /root/reference/lib/viaf.js:11-128). Stale id ck+9000000:
+    ck%3==0 redirects to ck; ck%3==1 is deleted with a mads:useInstead LC
+    fallback; ck%3==2 is dead (no fallback)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        (k + 9000000).cast("string").alias("old_id"),
+        F.when(k % 3 == 0, k.cast("string")).alias("new_id"),
+        F.lit(None).cast("string").alias("lc_id"),
+        F.when(k % 3 == 1, F.concat(F.lit("n"), k.cast("string"))).alias("use_instead_lc"),
+    )
+
+
+def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup mentions plus the P4-promoted name-typed subjects."""
+    from serialization_agents_spark.operators.mentions import (
+        detect_mentions,
+        promote_subject_mentions,
+    )
 
     pages = _kg_pages(spark, sf_dir)
-    authority = _kg_authority(spark, sf_dir)
-    mentions = detect_mentions(pages)
-    linked, _dead = link_mentions(mentions, authority)
+    return detect_mentions(pages).unionByName(promote_subject_mentions(pages))
+
+
+def _kg_canonical(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+
+    from serialization_agents_spark.operators.canonicalize import canonicalize_agents
+    from serialization_agents_spark.operators.linking import link_mentions
+    from serialization_agents_spark.operators.merge import merge_entities
+
+    mentions = _kg_mentions(spark, sf_dir)
+    linked, _dead = link_mentions(
+        mentions, _kg_authority(spark, sf_dir), redirects=_kg_redirects(spark, sf_dir)
+    )
     # persist the fan-out frames: `linked` feeds merge + provenance
     # triples; `canonical` feeds 7 union branches in materialize_triples.
     linked = linked.persist()
     agents = merge_entities(linked)
     canonical, _iters = canonicalize_agents(agents)
     canonical = canonical.persist()
+    _KG_CACHE[key] = (linked, agents, canonical)
     return linked, agents, canonical
 
 
 # SQL building blocks shared by the kg_* oracles (DuckDB dialect).
+# Mirrors _kg_pages' four mention-1 branches (stale/vhint/lchint/plain),
+# the secondary + noise + promoted-subject arms, and the linking outcome:
+# every customer-backed mention resolves to viaf:<ck> (via J1, a redirect,
+# the J2 LCNAF fallback, or the J4 name block — including the fuzzy
+# multi-candidate blocks, whose winner is the near-exact candidate).
 _KG_SQL_BASE = """
 WITH n AS (SELECT count(*) AS c FROM customer),
 base AS (
   SELECT d.doc_id,
          'https://example.org/doc/' || d.doc_id AS url,
-         (d.doc_id * 37) % (SELECT c FROM n) AS ck1,
+         (d.doc_id * 37 + (d.doc_id % 7) * 11) % (SELECT c FROM n) AS ck1,
          CASE WHEN d.doc_id % 3 = 0 THEN (d.doc_id * 53 + 11) % (SELECT c FROM n) END AS ck2,
-         d.doc_id % 2 = 0 AS hinted1,
+         CASE WHEN d.doc_id % 7 = 0 THEN (d.doc_id * 11 + 3) % (SELECT c FROM n) END AS ck3,
+         d.doc_id % 6 = 0 AS stale1,
+         d.doc_id % 2 = 0 AND d.doc_id % 6 <> 0 AS vhint1,
+         d.doc_id % 2 = 1
+           AND ((d.doc_id * 37 + (d.doc_id % 7) * 11) % (SELECT c FROM n)) % 2 = 0 AS lchint1,
          d.doc_id % 4 = 0 AS hinted2,
          CASE WHEN d.doc_id % 5 = 0 THEN 'Unlisted Person ' || (d.doc_id % 37) END AS noise
   FROM documents d
 ),
 withnames AS (
-  SELECT b.*, c1.c_name AS name1, c2.c_name AS name2
+  SELECT b.*, c1.c_name AS name1, c2.c_name AS name2, c3.c_name AS name3
   FROM base b
   JOIN customer c1 ON b.ck1 = c1.c_custkey
   LEFT JOIN customer c2 ON b.ck2 = c2.c_custkey
+  LEFT JOIN customer c3 ON b.ck3 = c3.c_custkey
 ),
 mentions AS (
-  SELECT url, CASE WHEN hinted1 THEN name1 ELSE upper(name1) END AS name_raw,
-         CASE WHEN hinted1 THEN CAST(ck1 AS VARCHAR) END AS viaf_hint,
-         ck1 AS ck
+  SELECT url,
+         CASE WHEN stale1 OR vhint1 THEN name1
+              WHEN lchint1 THEN 'Agent ' || ck1
+              ELSE upper(name1) END AS name_raw,
+         CASE WHEN stale1 THEN CAST(ck1 + 9000000 AS VARCHAR)
+              WHEN vhint1 THEN CAST(ck1 AS VARCHAR) END AS viaf_hint,
+         CASE WHEN lchint1 THEN 'n' || ck1 END AS lc_hint,
+         ck1 AS ck, 'web' AS src, 1 AS prio
   FROM withnames
   UNION ALL
   SELECT url, CASE WHEN hinted2 THEN name2 ELSE upper(name2) END AS name_raw,
          CASE WHEN hinted2 THEN CAST(ck2 AS VARCHAR) END AS viaf_hint,
-         ck2 AS ck
+         NULL AS lc_hint, ck2 AS ck, 'web' AS src, 1 AS prio
   FROM withnames WHERE ck2 IS NOT NULL
   UNION ALL
-  SELECT url, noise AS name_raw, NULL AS viaf_hint, NULL AS ck
+  SELECT url, noise AS name_raw, NULL AS viaf_hint, NULL AS lc_hint,
+         NULL AS ck, 'web' AS src, 1 AS prio
   FROM withnames WHERE noise IS NOT NULL
+  UNION ALL
+  SELECT url, name3 AS name_raw, NULL AS viaf_hint, NULL AS lc_hint,
+         ck3 AS ck, 'web_subject' AS src, 2 AS prio
+  FROM withnames WHERE ck3 IS NOT NULL
 ),
 linked AS (
   SELECT url, name_raw,
          CASE WHEN ck IS NOT NULL THEN 'viaf:' || ck
               ELSE 'noViaf:' || substr(md5(trim(regexp_replace(lower(name_raw), '[^a-z0-9]+', ' ', 'g'))), 1, 16)
          END AS entity_key,
-         ck
+         ck, src, prio
   FROM mentions
 ),
-deduped AS (SELECT DISTINCT url, name_raw, entity_key, ck FROM linked),
+deduped AS (
+  SELECT url, name_raw, entity_key, ck, min(prio) AS prio
+  FROM linked GROUP BY url, name_raw, entity_key, ck
+),
 entities AS (
   SELECT entity_key,
          CASE WHEN max(ck) IS NOT NULL THEN max(c.c_name) ELSE min(name_raw) END AS name_controlled,
@@ -179,6 +303,59 @@ entities AS (
   FROM deduped LEFT JOIN customer c ON deduped.ck = c.c_custkey
   GROUP BY entity_key
 )
+"""
+
+
+def _string_score_sql() -> str:
+    """DuckDB transcription of the string_score char-walk
+    (functions/normalize.py:fuzzy_score_py — the public algorithm the
+    reference calls at lib/utils.js:56), as a RECURSIVE CTE carrying the
+    (i, r=running, s=start_at, f=fuzzies) walk state per row.
+
+    (A list_reduce lambda version exists but DuckDB 1.0's vectorized
+    list_reduce bleeds accumulator fields across rows when the CASE
+    branches diverge within a batch; the recursive CTE is branch-safe.
+    tests/test_normalize.py sweeps this SQL against fuzzy_score_py.)
+    """
+    # rel = 1-based find of query char i+1 in lower(t) from offset s;
+    # 0 = miss. consecutive-match <=> rel == 1; 0-based hit idx = s+rel-1.
+    rel = "strpos(substr(lower(t), s + 1), substr(lower(q), i + 1, 1))"
+    final = "(0.5 * (w.r / length(t) + w.r / length(q)) / w.f)"
+    return f"""
+WITH RECURSIVE n AS (SELECT count(*) AS c FROM customer),
+pairs AS (
+  SELECT c_custkey AS mention_key,
+         unnest([c_custkey, (c_custkey + 7) % (SELECT c FROM n)]) AS cand_key
+  FROM customer
+),
+pq AS (
+  SELECT mention_key, cand_key,
+         'customer ' || lpad(CAST(mention_key AS VARCHAR), 9, '0') AS t,
+         'Customer#' || lpad(CAST(cand_key AS VARCHAR), 9, '0') AS q
+  FROM pairs
+),
+walk AS (
+  SELECT mention_key, cand_key, t, q, 0 AS i,
+         CAST(0.0 AS DOUBLE) AS r, 0 AS s, CAST(1.0 AS DOUBLE) AS f
+  FROM pq
+  UNION ALL
+  SELECT mention_key, cand_key, t, q, i + 1,
+         CASE WHEN rel = 0 THEN r ELSE r
+           + (CASE WHEN rel = 1 THEN 0.7 ELSE 0.1
+              + (CASE WHEN substr(t, s + rel - 1, 1) = ' ' THEN 0.8 ELSE 0.0 END) END)
+           + (CASE WHEN substr(t, s + rel, 1) = substr(q, i + 1, 1) THEN 0.1 ELSE 0.0 END)
+         END,
+         CASE WHEN rel = 0 THEN s ELSE s + rel END,
+         CASE WHEN rel = 0 THEN f + 0.5 ELSE f END
+  FROM (SELECT mention_key, cand_key, t, q, i, r, s, f, {rel} AS rel
+        FROM walk WHERE i < length(q)) x
+)
+SELECT mention_key, cand_key,
+       round(CASE WHEN t = q THEN 1.0
+                  WHEN substr(lower(q), 1, 1) = substr(lower(t), 1, 1)
+                       AND {final} < 0.85 THEN {final} + 0.15
+                  ELSE {final} END, 4) AS fuzzy
+FROM walk w WHERE i = length(q)
 """
 
 
@@ -304,6 +481,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_events"),
         )
 
+    def j4_fuzzy_scores(spark, sf):
+        """X3 under the hash gate: the string_score pandas UDF evaluated on
+        2 candidate pairs per customer (near-exact + decoy), mirrored in
+        DuckDB by a list_reduce transcription of the same char-walk."""
+        from serialization_agents_spark.functions.normalize import (
+            fuzzy_score_udf,
+            normalize_name_expr,
+        )
+
+        cust = _t(spark, sf, "customer")
+        n = _kg_customer_count(spark, sf)
+        k = F.col("c_custkey")
+        pairs = cust.select(
+            k.alias("mention_key"),
+            normalize_name_expr(F.col("c_name")).alias("target"),
+            F.explode(F.array(k, (k + 7) % n)).alias("cand_key"),
+        ).withColumn("query", F.format_string("Customer#%09d", F.col("cand_key")))
+        # entity-scale Python stage: bound Arrow-worker concurrency
+        pairs = pairs.repartition(8, "mention_key")
+        return pairs.select(
+            "mention_key",
+            "cand_key",
+            F.round(fuzzy_score_udf(F.col("target"), F.col("query")), 4).alias("fuzzy"),
+        )
+
     # ---- training-data ops ----------------------------------------------
     def dedup_exact(spark, sf):
         return D.exact_duplicates(_t(spark, sf, "documents"))
@@ -375,15 +577,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from serialization_agents_spark.operators.mentions import detect_mentions
 
         return detect_mentions(_kg_pages(spark, sf)).select(
-            "url", "name_raw", "viaf_hint"
+            "url", "name_raw", "viaf_hint", "lc_hint"
+        )
+
+    def p4_promoted_mentions(spark, sf):
+        from serialization_agents_spark.operators.mentions import (
+            promote_subject_mentions,
+        )
+
+        return promote_subject_mentions(_kg_pages(spark, sf)).select(
+            "url", "name_raw", "source", "source_priority"
+        )
+
+    def kg_mentions_prose(spark, sf):
+        from serialization_agents_spark.operators.extract import with_extracted_text
+        from serialization_agents_spark.operators.mentions import (
+            detect_mentions_prose,
+        )
+
+        pages = with_extracted_text(_kg_pages(spark, sf))
+        return detect_mentions_prose(pages).select("url", "name_raw")
+
+    def kg_mentions_gazetteer(spark, sf):
+        from serialization_agents_spark.functions.normalize import normalize_name_expr
+        from serialization_agents_spark.operators.extract import with_extracted_text
+        from serialization_agents_spark.operators.mentions import (
+            detect_mentions_gazetteer,
+        )
+
+        pages = with_extracted_text(_kg_pages(spark, sf))
+        cust = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        gaz = cust.where(k % 11 == 0).select(
+            k.cast("string").alias("viaf_id"),
+            F.array(normalize_name_expr(F.col("c_name"))).alias("normalized"),
+        )
+        hits = detect_mentions_gazetteer(pages, gaz, max_shingle=2)
+        return hits.select("url", "name_norm", "viaf_hint").distinct()
+
+    def j6_redirect_resolution(spark, sf):
+        from serialization_agents_spark.operators.linking import resolve_redirects
+        from serialization_agents_spark.operators.mentions import detect_mentions
+
+        mentions = detect_mentions(_kg_pages(spark, sf))
+        resolved, _dead = resolve_redirects(mentions, _kg_redirects(spark, sf))
+        return resolved.where(F.col("viaf_hint").isNotNull()).select(
+            "url", "viaf_hint", "viaf_resolved", "lc_hint"
+        )
+
+    def s11_dead_viaf(spark, sf):
+        from serialization_agents_spark.operators.linking import resolve_redirects
+        from serialization_agents_spark.operators.mentions import detect_mentions
+
+        mentions = detect_mentions(_kg_pages(spark, sf))
+        _resolved, dead = resolve_redirects(mentions, _kg_redirects(spark, sf))
+        return dead
+
+    def j2_lcnaf_fallback(spark, sf):
+        from serialization_agents_spark.operators.linking import link_mentions
+
+        linked, _ = link_mentions(
+            _kg_mentions(spark, sf),
+            _kg_authority(spark, sf),
+            redirects=_kg_redirects(spark, sf),
+        )
+        return linked.where(F.col("lc_hint").isNotNull()).select(
+            "url", "name_raw", "lc_hint", "entity_key"
         )
 
     def kg_linked(spark, sf):
         from serialization_agents_spark.operators.linking import link_mentions
-        from serialization_agents_spark.operators.mentions import detect_mentions
 
-        mentions = detect_mentions(_kg_pages(spark, sf))
-        linked, _ = link_mentions(mentions, _kg_authority(spark, sf))
+        linked, _ = link_mentions(
+            _kg_mentions(spark, sf),
+            _kg_authority(spark, sf),
+            redirects=_kg_redirects(spark, sf),
+        )
         return linked.select("url", "name_raw", "entity_key").distinct()
 
     def kg_agents(spark, sf):
@@ -416,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_regexp_extract_id": p2_regexp_extract_id,
         "a6_distinct_pairs": a6_distinct_pairs,
         "o4_sessionize": o4_sessionize,
+        "j4_fuzzy_scores": j4_fuzzy_scores,
         "dedup_exact": dedup_exact,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -430,6 +700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": multimodal_image_features,
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
+        "p4_promoted_mentions": p4_promoted_mentions,
+        "kg_mentions_prose": kg_mentions_prose,
+        "kg_mentions_gazetteer": kg_mentions_gazetteer,
+        "j6_redirect_resolution": j6_redirect_resolution,
+        "s11_dead_viaf": s11_dead_viaf,
+        "j2_lcnaf_fallback": j2_lcnaf_fallback,
         "kg_linked": kg_linked,
         "kg_agents": kg_agents,
         "kg_triples": kg_triples,
@@ -608,15 +884,69 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_text": (
             _KG_SQL_BASE
             + "SELECT url, "
-            "'Work by ' || (CASE WHEN hinted1 THEN name1 ELSE upper(name1) END) || ' reviewed.' || "
+            "'Work by ' || (CASE WHEN stale1 OR vhint1 THEN name1 "
+            "WHEN lchint1 THEN 'Agent ' || ck1 ELSE upper(name1) END) || ' reviewed.' || "
             "(CASE WHEN ck2 IS NOT NULL THEN ' Work by ' || (CASE WHEN hinted2 THEN name2 ELSE upper(name2) END) || ' reviewed.' ELSE '' END) || "
             "(CASE WHEN noise IS NOT NULL THEN ' Work by ' || noise || ' reviewed.' ELSE '' END) || "
+            "(CASE WHEN ck3 IS NOT NULL THEN ' Subjects: ' || name3 ELSE '' END) || "
+            "(CASE WHEN doc_id % 7 = 3 THEN ' Theme: Theme T' || (doc_id % 13) ELSE '' END) || "
             "' Document ' || doc_id || '.' AS text "
             "FROM withnames"
         ),
         "kg_mentions": (
-            _KG_SQL_BASE + "SELECT url, name_raw, viaf_hint FROM mentions"
+            _KG_SQL_BASE
+            + "SELECT url, name_raw, viaf_hint, lc_hint FROM mentions WHERE src = 'web'"
         ),
+        "p4_promoted_mentions": (
+            _KG_SQL_BASE
+            + "SELECT url, name_raw, src AS source, prio AS source_priority "
+            "FROM mentions WHERE src = 'web_subject'"
+        ),
+        "kg_mentions_prose": (
+            _KG_SQL_BASE
+            + "SELECT url, 'Agent ' || ck1 AS name_raw FROM withnames WHERE lchint1 "
+            "UNION ALL "
+            "SELECT url, noise AS name_raw FROM withnames WHERE noise IS NOT NULL"
+        ),
+        "kg_mentions_gazetteer": (
+            _KG_SQL_BASE
+            + ", gazhits AS ("
+            "SELECT url, ck1 AS ck FROM withnames WHERE ck1 % 11 = 0 AND NOT lchint1 "
+            "UNION ALL "
+            "SELECT url, ck2 FROM withnames WHERE ck2 IS NOT NULL AND ck2 % 11 = 0 "
+            "UNION ALL "
+            "SELECT url, ck3 FROM withnames WHERE ck3 IS NOT NULL AND ck3 % 11 = 0) "
+            "SELECT DISTINCT url, "
+            "'customer ' || lpad(CAST(ck AS VARCHAR), 9, '0') AS name_norm, "
+            "CAST(ck AS VARCHAR) AS viaf_hint FROM gazhits"
+        ),
+        "j6_redirect_resolution": (
+            _KG_SQL_BASE
+            + "SELECT url, CAST(ck1 + 9000000 AS VARCHAR) AS viaf_hint, "
+            "CASE WHEN ck1 % 3 = 0 THEN CAST(ck1 AS VARCHAR) END AS viaf_resolved, "
+            "CASE WHEN ck1 % 3 = 1 THEN 'n' || ck1 END AS lc_hint "
+            "FROM withnames WHERE stale1 "
+            "UNION ALL "
+            "SELECT url, CAST(ck1 AS VARCHAR), CAST(ck1 AS VARCHAR), NULL "
+            "FROM withnames WHERE vhint1 "
+            "UNION ALL "
+            "SELECT url, CAST(ck2 AS VARCHAR), CAST(ck2 AS VARCHAR), NULL "
+            "FROM withnames WHERE ck2 IS NOT NULL AND hinted2"
+        ),
+        "s11_dead_viaf": (
+            _KG_SQL_BASE
+            + "SELECT url, CAST(ck1 + 9000000 AS VARCHAR) AS dead_viaf "
+            "FROM withnames WHERE stale1 AND ck1 % 3 = 2"
+        ),
+        "j2_lcnaf_fallback": (
+            _KG_SQL_BASE
+            + "SELECT url, 'Agent ' || ck1 AS name_raw, 'n' || ck1 AS lc_hint, "
+            "'viaf:' || ck1 AS entity_key FROM withnames WHERE lchint1 "
+            "UNION ALL "
+            "SELECT url, name1, 'n' || ck1, 'viaf:' || ck1 "
+            "FROM withnames WHERE stale1 AND ck1 % 3 = 1"
+        ),
+        "j4_fuzzy_scores": _string_score_sql(),
         "kg_linked": (
             _KG_SQL_BASE + "SELECT DISTINCT url, name_raw, entity_key FROM linked"
         ),

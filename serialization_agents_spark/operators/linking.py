@@ -42,8 +42,24 @@ from pyspark.sql.functions import broadcast
 
 from serialization_agents_spark.functions.normalize import fuzzy_score_udf
 
-# Max concurrent tasks for Arrow/pandas UDF stages (worker-import bound).
+# Floor for Arrow/pandas UDF stage width (worker-import bound in this
+# sandbox); scales with the session's shuffle width on real clusters —
+# see _py_stage_partitions below.
 PY_STAGE_PARTITIONS = 8
+
+
+def _py_stage_partitions(df) -> int:
+    """Width of the Python (Arrow) fuzzy stage.
+
+    Small at low parallelism (each Arrow worker pays a one-time import
+    cost, and dozens importing concurrently thrash the fs cache — the
+    reference bounds its slow path the same way, .parallel(5),
+    /root/reference/lib/utils_shadowcat.js:27), but grows with the
+    session's configured shuffle width so a 1000-executor cluster is not
+    capped at 8 tasks for a genuinely large multi-candidate set.
+    """
+    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(PY_STAGE_PARTITIONS, shuffle_parts // 4)
 
 _AUTH_COLS = [
     "viaf_id", "viaf_all", "type", "lc_id", "getty_id", "wikidata_id",
@@ -56,12 +72,17 @@ def resolve_redirects(
 ) -> tuple[DataFrame, DataFrame]:
     """Chase viaf_hint through the redirects dimension.
 
-    Returns (mentions with `viaf_resolved`, dead_viaf side-output).
-    Chain per reference lib/utils.js:86-182: redirect target wins; a
-    deleted id with an LC fallback resolves via `use_instead_lc`; a
-    deleted id with no fallback is dead -> hint dropped, mention falls
-    through to the name pass.
+    Returns (mentions with `viaf_resolved` + lc-fallback-merged `lc_hint`,
+    dead_viaf side-output). Chain per reference lib/utils.js:86-182 and
+    lib/viaf.js:57-101: a redirected id resolves to its target; a deleted
+    id with a `mads:useInstead` LC authority routes into the LCNAF lookup
+    (J2) via `lc_hint`; a deleted id with no fallback is dead -> hint
+    dropped, mention falls through to the name pass, and the dead id is
+    side-output (the Spark version of the write-back
+    `removeViafFromShadowcatAgent`, lib/utils_shadowcat.js:152-173).
     """
+    if "lc_hint" not in mentions.columns:
+        mentions = mentions.withColumn("lc_hint", F.lit(None).cast("string"))
     if redirects is None:
         m = mentions.withColumn("viaf_resolved", F.col("viaf_hint"))
         dead = mentions.limit(0).select(
@@ -71,18 +92,25 @@ def resolve_redirects(
 
     r = redirects.select(
         F.col("old_id"),
-        F.coalesce("new_id", "use_instead_lc").alias("redirect_target"),
+        F.col("new_id").alias("redirect_target"),
+        F.col("use_instead_lc").alias("redirect_lc"),
         F.lit(True).alias("in_redirects"),
     )
     joined = mentions.join(broadcast(r), mentions.viaf_hint == r.old_id, "left")
-    resolved = joined.withColumn(
-        "viaf_resolved",
-        F.when(F.col("in_redirects").isNull(), F.col("viaf_hint")).otherwise(
-            F.col("redirect_target")  # may be NULL => dead id
-        ),
-    ).drop("old_id", "redirect_target", "in_redirects")
+    resolved = (
+        joined.withColumn(
+            "viaf_resolved",
+            F.when(F.col("in_redirects").isNull(), F.col("viaf_hint")).otherwise(
+                F.col("redirect_target")  # may be NULL => deleted id
+            ),
+        )
+        .withColumn("lc_hint", F.coalesce("lc_hint", "redirect_lc"))
+        .drop("old_id", "redirect_target", "redirect_lc", "in_redirects")
+    )
     dead = resolved.where(
-        F.col("viaf_hint").isNotNull() & F.col("viaf_resolved").isNull()
+        F.col("viaf_hint").isNotNull()
+        & F.col("viaf_resolved").isNull()
+        & F.col("lc_hint").isNull()
     ).select("url", F.col("viaf_hint").alias("dead_viaf"))
     return resolved, dead
 
@@ -121,15 +149,15 @@ def link_mentions(
     m = m.join(broadcast(viaf_keys), "viaf_resolved", "left")
 
     # --- J2: lcId fallback (reference: only when J1 missed) --------------
+    # lc_hint comes from LCNAF markup (P3, detect_mentions) or a
+    # mads:useInstead redirect (resolve_redirects above); the coalesce
+    # below keeps the J1 hit when both joins land (lib/utils.js:196-208).
     lc_keys = (
         authority.where(F.col("lc_id").isNotNull())
         .select(F.col("lc_id").alias("lc_hint"), F.struct(*_AUTH_COLS).alias("auth_l"))
         .dropDuplicates(["lc_hint"])
     )
-    if "lc_hint" in m.columns:
-        m = m.join(broadcast(lc_keys), "lc_hint", "left")
-    else:
-        m = m.withColumn("auth_l", F.lit(None).cast(lc_keys.schema["auth_l"].dataType))
+    m = m.join(broadcast(lc_keys), "lc_hint", "left")
 
     m = m.withColumn("auth_hit", F.coalesce("auth_v", "auth_l")).drop("auth_v", "auth_l")
 
@@ -159,14 +187,13 @@ def link_mentions(
         F.lit(None).cast("double").alias("fuzzy"),
     )
 
-    # Cap Python-stage parallelism: each Arrow worker pays a one-time
-    # import cost, and dozens importing concurrently thrash the fs cache
-    # (the reference bounds its slow path the same way — .parallel(5),
-    # lib/utils_shadowcat.js:27). The multi-candidate set is tiny, so 8
-    # tasks lose nothing.
+    # Bound Python-stage parallelism (width derived from the session's
+    # shuffle width — see _py_stage_partitions). The multi-candidate set
+    # is a tiny zipf-tail fraction of mentions, so a narrow stage loses
+    # nothing at sandbox scale and still widens on a real cluster.
     multi = blocked.where(F.col("n_cands") > 1).select(
         *unmatched.columns, F.explode("cands").alias("auth_n")
-    ).repartition(PY_STAGE_PARTITIONS, "mention_id")
+    ).repartition(_py_stage_partitions(blocked), "mention_id")
     multi = multi.withColumn(
         "fuzzy",
         fuzzy_score_udf(

@@ -32,9 +32,18 @@ from pyspark.sql import functions as F
 from serialization_agents_spark.functions.normalize import normalize_name_expr
 
 MARKUP_VIAF_RE = r'<span class="agent" data-viaf="([^"]*)">([^<]+)</span>'
+# LCNAF-annotated span: carries an id.loc.gov/authorities/names URI. The
+# P3 id extraction below reproduces `valueURI.split('/names/')[1]`
+# (/root/reference/lib/utils_mms.js:67-70,86-90).
+MARKUP_LCNAF_RE = r'<span class="agent" data-lcnaf="([^"]*)">([^<]+)</span>'
 MARKUP_PLAIN_RE = r'<span class="agent">([^<]+)</span>'
+# Subject span with a declared type — only type="name" subjects are
+# promoted into the agents stream (P4, the analogue of
+# /root/reference/lib/mms_serialize_collections_agents.js:163-172).
+MARKUP_SUBJECT_NAME_RE = r'<span class="subject" data-type="name">([^<]+)</span>'
 # NER-ish prose pattern: "by <Capitalized Name> reviewed/wrote/..."
 PROSE_RE = r"by ((?:[A-Z][\w.'-]*)(?: [A-Z0-9][\w.'-]*)*) (?:reviewed|wrote|edited)"
+LCNAF_URI_ID_RE = r"/names/([^/\"]+)$"
 
 
 def detect_mentions(
@@ -60,7 +69,28 @@ def detect_mentions(
         "url",
         F.col("m.name").alias("name_raw"),
         F.nullif(F.col("m.viaf"), F.lit("")).alias("viaf_hint"),
+        F.lit(None).cast("string").alias("lc_hint"),
         F.col("pos"),
+    )
+
+    # P3 — LCNAF URI -> id, the reference's `split('/names/')[1]`
+    # (/root/reference/lib/utils_mms.js:67-70). Non-LC URIs yield NULL.
+    lc_hinted = pages.select(
+        "url",
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(html_s, F.lit(MARKUP_LCNAF_RE), F.lit(2)).alias("name"),
+                F.regexp_extract_all(html_s, F.lit(MARKUP_LCNAF_RE), F.lit(1)).alias("uri"),
+            )
+        ).alias("pos", "m"),
+    ).select(
+        "url",
+        F.col("m.name").alias("name_raw"),
+        F.lit(None).cast("string").alias("viaf_hint"),
+        F.nullif(
+            F.regexp_extract(F.col("m.uri"), LCNAF_URI_ID_RE, 1), F.lit("")
+        ).alias("lc_hint"),
+        (F.col("pos") + 500).alias("pos"),
     )
 
     plain = pages.select(
@@ -70,21 +100,61 @@ def detect_mentions(
         ).alias("pos", "name_raw"),
     ).select(
         "url", "name_raw", F.lit(None).cast("string").alias("viaf_hint"),
+        F.lit(None).cast("string").alias("lc_hint"),
         (F.col("pos") + 1000).alias("pos"),  # occurrence-space offset per detector
     )
 
-    out = hinted.unionByName(plain)
+    out = hinted.unionByName(lc_hinted).unionByName(plain)
     return out.select(
         "url",
-        F.xxhash64("url", "name_raw", F.coalesce("viaf_hint", F.lit("")), "pos").alias(
-            "mention_id"
-        ),
+        F.xxhash64(
+            "url", "name_raw", F.coalesce("viaf_hint", F.lit("")),
+            F.coalesce("lc_hint", F.lit("")), "pos",
+        ).alias("mention_id"),
         "name_raw",
         normalize_name_expr(F.col("name_raw")).alias("name_norm"),
         "viaf_hint",
+        "lc_hint",
         F.lit(source).alias("source"),
         F.lit(source_priority).cast("int").alias("source_priority"),
     ).where(F.length("name_norm") > 0)
+
+
+def promote_subject_mentions(
+    pages: DataFrame, source: str = "web_subject", source_priority: int = 2
+) -> DataFrame:
+    """P4 — promote name-typed subjects into the mentions stream.
+
+    The reference pushes `subjects` entries with `type === 'name'` into the
+    per-record agents array before linking
+    (/root/reference/lib/mms_serialize_collections_agents.js:163-172);
+    topic-typed subjects are ignored. The web analogue is a
+    `<span class="subject" data-type="name">` block; it enters the same
+    linking cascade with a lower source priority so an agent-span mention
+    of the same entity wins scalar conflicts.
+    """
+    html_s = F.col("html").cast("string")
+    return (
+        pages.select(
+            "url",
+            F.posexplode(
+                F.regexp_extract_all(html_s, F.lit(MARKUP_SUBJECT_NAME_RE), F.lit(1))
+            ).alias("pos", "name_raw"),
+        )
+        .select(
+            "url",
+            F.xxhash64("url", "name_raw", F.lit(""), F.lit(""), F.col("pos") + 4000).alias(
+                "mention_id"
+            ),
+            "name_raw",
+            normalize_name_expr(F.col("name_raw")).alias("name_norm"),
+            F.lit(None).cast("string").alias("viaf_hint"),
+            F.lit(None).cast("string").alias("lc_hint"),
+            F.lit(source).alias("source"),
+            F.lit(source_priority).cast("int").alias("source_priority"),
+        )
+        .where(F.length("name_norm") > 0)
+    )
 
 
 def detect_mentions_prose(
@@ -101,10 +171,13 @@ def detect_mentions_prose(
         )
         .select(
             "url",
-            F.xxhash64("url", "name_raw", F.lit(""), F.col("pos") + 2000).alias("mention_id"),
+            F.xxhash64("url", "name_raw", F.lit(""), F.lit(""), F.col("pos") + 2000).alias(
+                "mention_id"
+            ),
             "name_raw",
             normalize_name_expr(F.col("name_raw")).alias("name_norm"),
             F.lit(None).cast("string").alias("viaf_hint"),
+            F.lit(None).cast("string").alias("lc_hint"),
             F.lit(source).alias("source"),
             F.lit(source_priority).cast("int").alias("source_priority"),
         )
@@ -126,6 +199,12 @@ def detect_mentions_gazetteer(
     Scale note: the explode fans each page out ~tokens×k ways but stays a
     narrow op followed by ONE broadcast join; no shuffle of the fact table.
     """
+    def _shingler(length: int):
+        # MUST be a one-parameter lambda: Spark passes (element, index) to
+        # two-parameter F.transform lambdas, so a `lambda i, L=L:` default
+        # is silently overwritten by the element index.
+        return lambda i: F.array_join(F.slice("toks", i + 1, length), " ")
+
     toks = F.split(normalize_name_expr(F.col("text")), " ")
     shingled = pages_with_text.select("url", toks.alias("toks")).select(
         "url",
@@ -137,7 +216,7 @@ def detect_mentions_gazetteer(
                         F.transform(
                             # for shingle length L: start positions 0..len-L
                             F.sequence(F.lit(0), F.size("toks") - L),
-                            lambda i, L=L: F.array_join(F.slice("toks", i + 1, L), " "),
+                            _shingler(L),
                         ),
                     ).otherwise(F.array().cast("array<string>"))
                     for L in range(1, max_shingle + 1)
@@ -155,6 +234,7 @@ def detect_mentions_gazetteer(
         F.col("shingle").alias("name_raw"),
         F.col("shingle").alias("name_norm"),
         F.col("viaf_id").alias("viaf_hint"),
+        F.lit(None).cast("string").alias("lc_hint"),
         F.lit(source).alias("source"),
         F.lit(source_priority).cast("int").alias("source_priority"),
     )

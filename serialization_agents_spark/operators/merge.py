@@ -72,10 +72,20 @@ def prepare_mention_facts(linked: DataFrame) -> DataFrame:
     ).otherwise(
         F.struct(F.lit(3).alias("p"), F.col("name_raw").alias("v"))
     )
+    from pyspark.sql.window import Window
+
+    # A6 — within-record dedupe of identical candidates. Deterministic
+    # survivor: the lowest-priority-source row wins (a mention detected by
+    # both an agent span and a promoted subject keeps the agent-span row),
+    # never whichever partition happened to arrive first.
+    dedupe_w = Window.partitionBy("url", "entity_key", "name_raw").orderBy(
+        "source_priority", "source", "mention_id"
+    )
     return (
         linked
-        # A6 — within-record dedupe of identical candidates.
-        .dropDuplicates(["url", "entity_key", "name_raw"])
+        .withColumn("_rn", F.row_number().over(dedupe_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
         .withColumn("name_pref", name_pref)
         .withColumn(
             "alt_form",
@@ -102,11 +112,21 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
 
     salted = facts.withColumn("salt", F.pmod(F.xxhash64("mention_id"), F.lit(n_salt)))
 
+    # Caps are applied to SORTED distinct arrays so the retained subset is
+    # deterministic when a head entity exceeds a cap — re-runs and resumes
+    # stay byte-identical (lineage checksums depend on it).
+    def _capped(col: str, cap: int) -> Column:
+        return F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, cap)
+
     partial = salted.groupBy("entity_key", "salt").agg(
         F.min("name_pref").alias("name_pref"),
         F.first("auth_hit", ignorenulls=True).alias("auth"),
-        F.slice(F.collect_set("name_norm"), 1, MAX_NAME_FORMS).alias("name_norms"),
-        F.slice(F.collect_set("alt_form"), 1, MAX_ALT_FORMS).alias("alt_forms"),
+        F.slice(F.array_sort(F.collect_set("name_norm")), 1, MAX_NAME_FORMS).alias(
+            "name_norms"
+        ),
+        F.slice(F.array_sort(F.collect_set("alt_form")), 1, MAX_ALT_FORMS).alias(
+            "alt_forms"
+        ),
         F.count(F.lit(1)).alias("mention_count"),
         F.min("source_priority").alias("source_priority"),
     )
@@ -114,12 +134,8 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
     agg = partial.groupBy("entity_key").agg(
         F.min("name_pref").alias("name_pref"),
         F.first("auth", ignorenulls=True).alias("auth"),
-        F.slice(
-            F.array_distinct(F.flatten(F.collect_list("name_norms"))), 1, MAX_NAME_FORMS
-        ).alias("name_normalized"),
-        F.slice(
-            F.array_distinct(F.flatten(F.collect_list("alt_forms"))), 1, MAX_ALT_FORMS
-        ).alias("alt_forms"),
+        _capped("name_norms", MAX_NAME_FORMS).alias("name_normalized"),
+        _capped("alt_forms", MAX_ALT_FORMS).alias("alt_forms"),
         F.sum("mention_count").alias("mention_count"),
         F.min("source_priority").alias("source_priority"),
     )
@@ -158,6 +174,10 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
         F.array().cast("array<string>").alias("merge_source"),
         F.col("mention_count"),
         F.col("source_priority"),
+        # lcTerm/viafTerm/local rank of name_controlled — carried so the
+        # streaming incremental fold can re-apply the SAME priority min
+        # instead of existing-wins (keeps batch(all) == fold(batches)).
+        F.col("name_pref.p").alias("name_pref_rank"),
     )
 
 

@@ -86,6 +86,7 @@ MENTIONS = StructType(
         StructField("name_raw", StringType(), False),
         StructField("name_norm", StringType(), False),  # blocking key (X1)
         StructField("viaf_hint", StringType(), True),  # markup-provided id, if any
+        StructField("lc_hint", StringType(), True),  # LCNAF id from URI markup (P3)
         StructField("source", StringType(), True),
         StructField("source_priority", IntegerType(), True),
     ]

@@ -35,8 +35,14 @@ from serialization_agents_spark.operators.merge import merge_entities
 
 # columns folded as sets / counters / priority-coalesced scalars
 _SET_COLS = ["viaf", "name_normalized", "alt_forms", "fast", "viaf_merged", "merge_source"]
+# name_controlled is NOT in this list: it folds through the carried
+# (name_pref_rank, value) min — the same lcTerm > viafTerm > local-name
+# priority the batch merge uses — so batch(all) == fold(batches) holds
+# even for noViaf entities whose normalized name has several raw
+# spellings (existing-wins would make the result ingestion-order
+# dependent).
 _SCALAR_COLS = [
-    "name_controlled", "wikidata", "lc_id", "ulan", "dbpedia", "birth", "death", "type",
+    "wikidata", "lc_id", "ulan", "dbpedia", "birth", "death", "type",
 ]
 
 
@@ -69,12 +75,26 @@ def incremental_merge_batch(
             F.when(F.col(c).isNotNull(), F.struct(prio.alias("p"), F.col(c).alias("v")))
         )["v"].alias(c)
 
+    name_pref = F.min(
+        F.when(
+            F.col("name_controlled").isNotNull(),
+            F.struct(
+                F.coalesce("name_pref_rank", F.lit(3)).alias("p"),
+                F.col("name_controlled").alias("v"),
+            ),
+        )
+    )
+
     agg = both.groupBy("entity_key").agg(
         F.first("registry_id", ignorenulls=True).alias("registry_id"),
         F.max("is_controlled").alias("is_controlled"),
+        name_pref["v"].alias("name_controlled"),
+        name_pref["p"].alias("name_pref_rank"),
         *[argmin_scalar(c) for c in _SCALAR_COLS],
         *[
-            F.slice(F.array_distinct(F.flatten(F.collect_list(c))), 1, 256).alias(c)
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))), 1, 256
+            ).alias(c)
             for c in _SET_COLS
         ],
         F.sum("mention_count").alias("mention_count"),

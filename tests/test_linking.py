@@ -10,7 +10,7 @@ from serialization_agents_spark.operators.linking import link_mentions
 
 def _mdf(spark, rows):
     full = [
-        (u, abs(hash((u, n, v))) % (2**40), n, normalize_name_py(n), v, "web", 1)
+        (u, abs(hash((u, n, v))) % (2**40), n, normalize_name_py(n), v, None, "web", 1)
         for (u, n, v) in rows
     ]
     return spark.createDataFrame(full, schemas.MENTIONS)

@@ -16,7 +16,7 @@ def _mention(url, name, viaf=None, prio=1, source="web"):
     from serialization_agents_spark.functions.normalize import normalize_name_py
 
     mid = hash((url, name, viaf)) % (2**40)
-    return (url, mid, name, normalize_name_py(name), viaf, source, prio)
+    return (url, mid, name, normalize_name_py(name), viaf, None, source, prio)
 
 
 def _mentions_df(spark, rows):
