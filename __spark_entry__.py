@@ -506,6 +506,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(fuzzy_score_udf(F.col("target"), F.col("query")), 4).alias("fuzzy"),
         )
 
+    def j5_variant_match(spark, sf):
+        """J5/X7/X8/A4 — the full TMS matching strategy over tms-ish agent
+        rows derived from `customer`: date cleanup, ordered checkNames
+        variants, first-hit-wins multi-key candidate join, and the
+        checkNames-first naming + date fallback
+        (reference lib/tms_serialize_objects_agents.js:167-190,
+        lib/utils_tms.js:83-116,125-199)."""
+        from serialization_agents_spark.functions.normalize import normalize_name_expr
+        from serialization_agents_spark.operators.variants import (
+            build_agent_from_variant_match,
+            build_check_names,
+            clean_agent_dates,
+            match_by_check_names,
+        )
+
+        cust = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        na = F.when(
+            k % 13 == 7, F.concat(F.col("c_name"), F.lit(" & Sons"))
+        ).otherwise(F.col("c_name"))
+        agents = cust.select(
+            k.alias("agent_id"),
+            na.alias("name_alpha"),
+            F.concat(F.lit("The "), na).alias("name_display"),
+            F.when(k % 5 == 0, F.lit(0))
+            .when(k % 5 == 3, F.lit(None))
+            .otherwise(1800 + k % 100)
+            .cast("long")
+            .alias("date_start"),
+            F.when(k % 5 == 0, F.lit(1900))
+            .when(k % 5 == 1, 1900 + k % 100)
+            .when(k % 5 == 2, 1850 + k % 100)
+            .when(k % 5 == 3, F.lit(1950))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("date_end"),
+        )
+        normc = normalize_name_expr(F.col("c_name"))
+        dated = F.concat(normc, F.lit(" "), (1800 + k % 100).cast("string"))
+        forms = (
+            F.when((k % 4 == 0) & (k % 5).isin(1, 2, 4), F.array(dated))
+            .when(k % 4 == 0, F.array().cast("array<string>"))
+            .when(k % 4 == 1, F.array(normc))
+            .when(k % 12 == 2, F.array(F.concat(F.lit("the "), normc), normc))
+            .when(k % 4 == 2, F.array(F.concat(F.lit("the "), normc)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+        auth = cust.select(
+            k.cast("string").alias("viaf_id"),
+            F.array(k.cast("string")).alias("viaf_all"),
+            F.when(k % 10 == 9, "Corporate").otherwise("Personal").alias("type"),
+            F.lit(None).cast("string").alias("lc_id"),
+            F.lit(None).cast("string").alias("getty_id"),
+            F.lit(None).cast("string").alias("wikidata_id"),
+            F.when(k % 2 == 0, F.concat(F.col("c_name"), F.lit(" (LC)"))).alias("lc_term"),
+            F.concat(F.col("c_name"), F.lit(" (VIAF)")).alias("viaf_term"),
+            F.when(k % 3 == 0, (1700 + k % 50).cast("string")).alias("birth"),
+            F.when(k % 3 == 0, (1760 + k % 50).cast("string")).alias("death"),
+            F.lit(None).cast("string").alias("dbpedia_id"),
+            forms.alias("normalized"),
+            F.array().cast("array<long>").alias("fast"),
+        )
+        cleaned = build_check_names(clean_agent_dates(agents))
+        built = build_agent_from_variant_match(match_by_check_names(cleaned, auth))
+        return built.select(
+            "agent_id",
+            F.col("matched_variant").cast("int").alias("matched_variant"),
+            "viaf",
+            "name_controlled",
+            "birth",
+            "death",
+            "agent_type",
+        )
+
     # ---- training-data ops ----------------------------------------------
     def dedup_exact(spark, sf):
         return D.exact_duplicates(_t(spark, sf, "documents"))
@@ -686,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_distinct_pairs": a6_distinct_pairs,
         "o4_sessionize": o4_sessionize,
         "j4_fuzzy_scores": j4_fuzzy_scores,
+        "j5_variant_match": j5_variant_match,
         "dedup_exact": dedup_exact,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -947,6 +1022,69 @@ def oracle_sql() -> dict[str, str]:
             "FROM withnames WHERE stale1 AND ck1 % 3 = 1"
         ),
         "j4_fuzzy_scores": _string_score_sql(),
+        "j5_variant_match": """
+WITH t AS (
+  SELECT c_custkey AS k, c_name,
+         CASE WHEN c_custkey % 13 = 7 THEN c_name || ' & Sons' ELSE c_name END AS na
+  FROM customer
+),
+d AS (
+  SELECT *,
+    CASE WHEN k % 5 = 0 THEN 0 WHEN k % 5 = 3 THEN NULL ELSE 1800 + k % 100 END AS rs,
+    CASE WHEN k % 5 = 0 THEN 1900 WHEN k % 5 = 1 THEN 1900 + k % 100
+         WHEN k % 5 = 2 THEN 1850 + k % 100 WHEN k % 5 = 3 THEN 1950 ELSE 0 END AS re
+  FROM t
+),
+cd AS (
+  SELECT *, CASE WHEN rs = 0 THEN NULL ELSE rs END AS s,
+    CASE WHEN re = 0 OR coalesce(CASE WHEN rs = 0 THEN NULL ELSE rs END, 0) + 100 = re
+         THEN NULL ELSE re END AS e
+  FROM d
+),
+cn AS (
+  SELECT *, list_filter([
+      CASE WHEN s IS NOT NULL AND e IS NOT NULL THEN na || ', ' || s || '-' || e END,
+      CASE WHEN s IS NOT NULL THEN na || ', ' || s || '-' END,
+      na, 'The ' || na], x -> x IS NOT NULL) AS check_names
+  FROM cd
+),
+nn AS (
+  SELECT *, list_transform(check_names,
+              x -> trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))) AS check_norms,
+         trim(regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')) AS normc
+  FROM cn
+),
+af AS (
+  SELECT *, CASE
+      WHEN k % 4 = 0 AND k % 5 IN (1, 2, 4) THEN [normc || ' ' || (1800 + k % 100)]
+      WHEN k % 4 = 0 THEN CAST([] AS VARCHAR[])
+      WHEN k % 4 = 1 THEN [normc]
+      WHEN k % 12 = 2 THEN ['the ' || normc, normc]
+      WHEN k % 4 = 2 THEN ['the ' || normc]
+      ELSE CAST([] AS VARCHAR[]) END AS auth_forms
+  FROM nn
+),
+mm AS (
+  SELECT *, list_min(list_filter(list_transform(auth_forms,
+              f -> list_position(check_norms, f)), p -> p IS NOT NULL AND p > 0)) AS mv
+  FROM af
+)
+SELECT k AS agent_id, CAST(mv AS INTEGER) AS matched_variant,
+  CASE WHEN mv IS NOT NULL THEN CAST(k AS VARCHAR) END AS viaf,
+  CASE WHEN mv IS NOT NULL THEN
+    CASE WHEN k % 2 = 0 THEN c_name || ' (LC)' ELSE c_name || ' (VIAF)' END
+  ELSE check_names[1] END AS name_controlled,
+  CASE WHEN mv IS NOT NULL THEN
+    CASE WHEN k % 3 = 0 THEN CAST(1700 + k % 50 AS VARCHAR) END
+  ELSE CAST(s AS VARCHAR) END AS birth,
+  CASE WHEN mv IS NOT NULL THEN
+    CASE WHEN k % 3 = 0 THEN CAST(1760 + k % 50 AS VARCHAR) END
+  ELSE CAST(e AS VARCHAR) END AS death,
+  CASE WHEN mv IS NOT NULL THEN
+    CASE WHEN k % 10 = 9 THEN 'corporate' ELSE 'personal' END
+  WHEN contains(check_names[1], '&') THEN 'corporate' ELSE 'personal' END AS agent_type
+FROM mm
+""",
         "kg_linked": (
             _KG_SQL_BASE + "SELECT DISTINCT url, name_raw, entity_key FROM linked"
         ),
