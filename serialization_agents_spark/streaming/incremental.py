@@ -11,13 +11,16 @@ commutative fold can be applied incrementally: for each micro-batch,
        — the same second-phase aggregation the batch job uses between
        salt buckets, so batch(all) == fold(batches) by construction.
 
-The fold is expressed here as read-merge-overwrite per micro-batch
-(`foreachBatch`); on an Iceberg/Delta deployment step 3 becomes a single
-`MERGE INTO` with the identical set-union / priority-coalesce update
-expressions. Canonicalization (CC) and enumeration remain periodic batch
-jobs over the maintained agents table — exactly the reference's split
-between continuous serializers and the final enumerate pass
-(/root/reference/README.md:22-46).
+The fold is a BUCKETED partial rewrite (`fold_batch_into_agents`): the
+agents table is hash-partitioned on entity_key and each micro-batch
+rewrites only the buckets its keys touch — O(batch) work per batch, not
+O(|agents|) — with a persisted last-batch marker + batch-keyed staging
+for replay safety. On an Iceberg/Delta deployment the fold becomes a
+single `MERGE INTO` with the identical set-union / priority-coalesce
+update expressions. Canonicalization (CC) and enumeration remain
+periodic batch jobs over the maintained agents table — exactly the
+reference's split between continuous serializers and the final
+enumerate pass (/root/reference/README.md:22-46).
 """
 
 from __future__ import annotations
@@ -103,6 +106,92 @@ def incremental_merge_batch(
     return agg.select(*cols)
 
 
+N_BUCKETS = 64
+
+
+def _bucket(col: str = "entity_key") -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
+
+
+def _read_marker(agents_dir: str) -> int:
+    path = os.path.join(agents_dir, "_last_batch")
+    if not os.path.exists(path):
+        return -1
+    with open(path) as fh:
+        return int(fh.read().strip())
+
+
+def _write_marker(agents_dir: str, batch_id: int) -> None:
+    os.makedirs(agents_dir, exist_ok=True)
+    tmp = os.path.join(agents_dir, "_last_batch.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, os.path.join(agents_dir, "_last_batch"))
+
+
+def fold_batch_into_agents(
+    spark: SparkSession, agents_dir: str, batch_agents: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch into the bucket-partitioned agents table.
+
+    Scale + exactly-once design (SURVEY.md §4.3/§4.4):
+
+    - the agents table is hash-partitioned into N_BUCKETS `bucket=`
+      directories on entity_key; a micro-batch touches only the buckets
+      its keys land in, so the per-batch fold reads/rewrites
+      O(|batch| / |agents| * N_BUCKETS) of the table, not all of it —
+      the parquet stand-in for the `MERGE INTO` a lakehouse table format
+      would run;
+    - replay guard: the last applied batch id is persisted next to the
+      table (`_last_batch`); a foreachBatch replay after a crash
+      short-circuits instead of double-folding mention counts
+      (parquet overwrite has no sink commit log of its own);
+    - crash-consistent staging: the folded buckets are staged under a
+      batch-id-keyed directory BEFORE the swap. A replay that finds the
+      staging complete re-runs only the (idempotent) swap + marker; it
+      never refolds from a half-swapped table. Staging dirs are removed
+      after the marker commits.
+
+    Returns True if the batch was applied, False if skipped as replayed.
+    """
+    import shutil
+
+    if batch_id <= _read_marker(agents_dir):
+        return False  # replayed batch: already folded
+
+    staging = os.path.join(agents_dir + ".staging", f"b{batch_id}")
+    batch_agents = batch_agents.withColumn("bucket", _bucket())
+
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        touched = [r["bucket"] for r in batch_agents.select("bucket").distinct().collect()]
+        current = None
+        # dynamic partition overwrite leaves NO root _SUCCESS; the table
+        # exists iff bucket= partition dirs do
+        has_table = os.path.isdir(agents_dir) and any(
+            e.startswith("bucket=") for e in os.listdir(agents_dir)
+        )
+        if has_table:
+            # partition-pruned read: only the buckets this batch touches
+            current = spark.read.parquet(agents_dir).where(F.col("bucket").isin(touched))
+        folded = incremental_merge_batch(
+            None if current is None else current.drop("bucket"),
+            batch_agents.drop("bucket"),
+        ).withColumn("bucket", _bucket())
+        folded.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+    # swap: dynamic partition overwrite replaces ONLY the staged buckets
+    (
+        spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(agents_dir)
+    )
+    _write_marker(agents_dir, batch_id)
+    shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+    return True
+
+
 def stream_pages_to_agents(
     spark: SparkSession,
     pages_dir: str,
@@ -114,13 +203,8 @@ def stream_pages_to_agents(
     trigger_available_now: bool = True,
 ):
     """readStream(new page parquet files) -> link -> merge -> fold into
-    the persisted agents table, one transactional fold per micro-batch.
-
-    Exactly-once: Structured Streaming checkpoints the file-source offsets
-    in `checkpoint_dir`; the fold write is idempotent per batch because
-    the output is overwritten from (old state + this batch) and the batch
-    id is recorded by the sink commit log.
-    """
+    the persisted bucket-partitioned agents table (fold_batch_into_agents
+    carries the per-batch exactly-once + partial-rewrite semantics)."""
     stream = (
         spark.readStream.schema(schemas.PAGES)
         .option("maxFilesPerTrigger", 16)
@@ -133,18 +217,7 @@ def stream_pages_to_agents(
         px = with_extracted_text(batch_pages)
         mentions = detect_mentions(px)
         linked, _dead = link_mentions(mentions, authority, redirects, blacklist)
-        batch_agents = merge_entities(linked)
-
-        current = None
-        if os.path.exists(os.path.join(agents_dir, "_SUCCESS")):
-            current = spark.read.parquet(agents_dir)
-        folded = incremental_merge_batch(current, batch_agents)
-        # stage-then-swap keeps the read path consistent mid-write
-        tmp = agents_dir + f".b{batch_id}"
-        folded.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(agents_dir)
-        # Iceberg/Delta deployment: replace these two writes with
-        # `MERGE INTO agents USING batch_agents ON entity_key ...`
+        fold_batch_into_agents(spark, agents_dir, merge_entities(linked), batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

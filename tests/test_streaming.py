@@ -45,6 +45,76 @@ def test_incremental_fold_equals_batch(spark):
         assert sorted(f[k]["name_normalized"]) == sorted(g[k]["name_normalized"]), k
 
 
+def test_bucketed_fold_touches_only_batch_buckets(spark, tmp_path):
+    """The per-batch fold must rewrite ONLY the buckets containing batch
+    keys (the scale contract) and skip replayed batch ids (the
+    exactly-once contract)."""
+    import os
+
+    from serialization_agents_spark.streaming.incremental import (
+        fold_batch_into_agents,
+    )
+
+    pages = synth.synth_pages(spark, n_pages=200, n_auth=50)
+    authority = synth.synth_authority(spark, n_auth=50)
+    agents_dir = str(tmp_path / "agents_bucketed")
+
+    half1 = pages.where(F.xxhash64("url") % 2 == 0)
+    half2 = pages.where(F.xxhash64("url") % 2 != 0)
+    assert fold_batch_into_agents(spark, agents_dir, _agents_for(spark, half1, authority), 0)
+
+    # snapshot per-bucket file listings after batch 0
+    def bucket_files():
+        out = {}
+        for d in os.listdir(agents_dir):
+            if d.startswith("bucket="):
+                p = os.path.join(agents_dir, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_files()
+
+    # batch 1 touches only a couple of entities -> a few buckets
+    # (deterministic filter: limit() picks different rows per job)
+    tiny = pages.where(F.pmod(F.xxhash64("url"), F.lit(37)) == 0)
+    batch1 = _agents_for(spark, tiny, authority)
+    touched = {
+        r[0]
+        for r in batch1.selectExpr(
+            "pmod(xxhash64(entity_key), 64) AS b"
+        ).distinct().collect()
+    }
+    assert fold_batch_into_agents(spark, agents_dir, batch1, 1)
+    after = bucket_files()
+
+    for d, files in before.items():
+        b = int(d.split("=")[1])
+        if b not in touched:
+            assert after[d] == files, f"untouched {d} was rewritten"
+    # replay of batch 1 must be skipped (no double-fold)
+    count_before = spark.read.parquet(agents_dir).count()
+    mention_sum = spark.read.parquet(agents_dir).agg(F.sum("mention_count")).first()[0]
+    assert not fold_batch_into_agents(spark, agents_dir, batch1, 1)
+    assert spark.read.parquet(agents_dir).count() == count_before
+    assert (
+        spark.read.parquet(agents_dir).agg(F.sum("mention_count")).first()[0]
+        == mention_sum
+    )
+
+    # folded table == batch-merge of everything folded so far
+    want = incremental_merge_batch(
+        _agents_for(spark, half1, authority), batch1
+    )
+    got = spark.read.parquet(agents_dir).drop("bucket")
+    w = {r["entity_key"]: r["mention_count"] for r in want.collect()}
+    g = {r["entity_key"]: r["mention_count"] for r in got.collect()}
+    assert w == g
+
+
 def test_stream_drains_directory(spark, tmp_path):
     pages = synth.synth_pages(spark, n_pages=200, n_auth=50)
     authority = synth.synth_authority(spark, n_auth=50)
