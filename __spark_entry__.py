@@ -482,11 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def j4_fuzzy_scores(spark, sf):
-        """X3 under the hash gate: the string_score pandas UDF evaluated on
-        2 candidate pairs per customer (near-exact + decoy), mirrored in
-        DuckDB by a list_reduce transcription of the same char-walk."""
+        """X3 under the hash gate: the PRODUCTION string_score expression
+        (pure-JVM F.aggregate char-walk) evaluated on 2 candidate pairs
+        per customer (near-exact + decoy), mirrored in DuckDB by a
+        recursive-CTE transcription of the same walk."""
         from serialization_agents_spark.functions.normalize import (
-            fuzzy_score_udf,
+            fuzzy_score_expr,
             normalize_name_expr,
         )
 
@@ -498,12 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             normalize_name_expr(F.col("c_name")).alias("target"),
             F.explode(F.array(k, (k + 7) % n)).alias("cand_key"),
         ).withColumn("query", F.format_string("Customer#%09d", F.col("cand_key")))
-        # entity-scale Python stage: bound Arrow-worker concurrency
-        pairs = pairs.repartition(8, "mention_key")
         return pairs.select(
             "mention_key",
             "cand_key",
-            F.round(fuzzy_score_udf(F.col("target"), F.col("query")), 4).alias("fuzzy"),
+            F.round(fuzzy_score_expr(F.col("target"), F.col("query")), 4).alias("fuzzy"),
         )
 
     def j5_variant_match(spark, sf):
@@ -719,6 +718,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "name_raw", "lc_hint", "entity_key"
         )
 
+    def s15_error_log(spark, sf):
+        """S15 — the pipeline's per-row failure audit: blacklisted names
+        (F6 drops) + dead VIAF ids (S11), (stage, url, reason, detail)
+        rows (reference lib/utils.js:238 logError)."""
+        from serialization_agents_spark.operators.extract import with_extracted_text
+        from serialization_agents_spark.operators.linking import resolve_redirects
+        from serialization_agents_spark.plans.errors import pipeline_errors
+
+        pages_x = with_extracted_text(_kg_pages(spark, sf))
+        mentions = _kg_mentions(spark, sf)
+        _resolved, dead = resolve_redirects(mentions, _kg_redirects(spark, sf))
+        bl = spark.createDataFrame(
+            [("Unlisted Person 3",), ("Unlisted Person 17",)], "name string"
+        )
+        return pipeline_errors(pages_x, mentions, dead, bl)
+
     def kg_linked(spark, sf):
         from serialization_agents_spark.operators.linking import link_mentions
 
@@ -781,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_redirect_resolution": j6_redirect_resolution,
         "s11_dead_viaf": s11_dead_viaf,
         "j2_lcnaf_fallback": j2_lcnaf_fallback,
+        "s15_error_log": s15_error_log,
         "kg_linked": kg_linked,
         "kg_agents": kg_agents,
         "kg_triples": kg_triples,
@@ -1020,6 +1036,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT url, name1, 'n' || ck1, 'viaf:' || ck1 "
             "FROM withnames WHERE stale1 AND ck1 % 3 = 1"
+        ),
+        "s15_error_log": (
+            _KG_SQL_BASE
+            + "SELECT 'link' AS stage, url, 'blacklisted_name' AS reason, "
+            "name_raw AS detail FROM mentions "
+            "WHERE name_raw IN ('Unlisted Person 3', 'Unlisted Person 17') "
+            "UNION ALL "
+            "SELECT 'link', url, 'dead_viaf', CAST(ck1 + 9000000 AS VARCHAR) "
+            "FROM withnames WHERE stale1 AND ck1 % 3 = 2"
         ),
         "j4_fuzzy_scores": _string_score_sql(),
         "j5_variant_match": """

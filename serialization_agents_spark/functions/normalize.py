@@ -130,6 +130,56 @@ def fuzzy_score_udf(target: pd.Series, query: pd.Series) -> pd.Series:
     )
 
 
+def fuzzy_score_expr(target: Column, query: Column) -> Column:
+    """string_score as a PURE JVM expression — F.aggregate over query
+    positions with a (running, start_at, fuzzies) struct accumulator,
+    exactly the fuzzy_score_py char-walk (parity-swept in
+    tests/test_normalize.py).
+
+    This is the production path: it keeps the linking cascade free of
+    Python workers entirely (worker init is seconds per executor slot
+    here and the scorer sits on the J4 hot path at 100 TB). The pandas
+    UDF above remains as the Arrow reference implementation.
+    """
+    t, q = target, query
+    lt, lq = F.lower(t), F.lower(q)
+
+    def step(a, i):
+        # pos = 1-based find of query char i in lt from offset a.s (0 = miss);
+        # consecutive-match <=> pos == a.s + 1; 0-based hit idx = pos - 1.
+        pos = F.position(F.substr(lq, i, F.lit(1)), lt, a["s"] + 1)
+        char_score = (
+            F.when(pos == a["s"] + 1, F.lit(0.7)).otherwise(
+                F.lit(0.1)
+                + F.when(F.substr(t, pos - 1, F.lit(1)) == " ", 0.8).otherwise(0.0)
+            )
+            + F.when(F.substr(t, pos, F.lit(1)) == F.substr(q, i, F.lit(1)), 0.1)
+            .otherwise(0.0)
+        )
+        return F.struct(
+            F.when(pos == 0, a["r"]).otherwise(a["r"] + char_score).alias("r"),
+            F.when(pos == 0, a["s"]).otherwise(pos).alias("s"),
+            F.when(pos == 0, a["f"] + 0.5).otherwise(a["f"]).alias("f"),
+        )
+
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.length(q)),
+        F.struct(F.lit(0.0).alias("r"), F.lit(0).alias("s"), F.lit(1.0).alias("f")),
+        step,
+    )
+    final = 0.5 * (acc["r"] / F.length(t) + acc["r"] / F.length(q)) / acc["f"]
+    scored = F.when(
+        (F.substring(lq, 1, 1) == F.substring(lt, 1, 1)) & (final < 0.85),
+        final + 0.15,
+    ).otherwise(final)
+    return (
+        F.when(t.isNull() | q.isNull(), F.lit(0.0))
+        .when(t == q, F.lit(1.0))
+        .when(F.length(q) == 0, F.lit(0.0))
+        .otherwise(scored)
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2 — percentOverlap
 # ---------------------------------------------------------------------------
@@ -149,3 +199,24 @@ def percent_overlap_py(a: str | None, b: str | None) -> float:
 @pandas_udf(DoubleType())
 def percent_overlap_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([percent_overlap_py(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+def percent_overlap_expr(a: Column, b: Column) -> Column:
+    """percentOverlap as pure Column expressions (JVM path; the pandas UDF
+    above is the Arrow reference implementation)."""
+
+    def toks(c: Column) -> Column:
+        # array_remove('') matches Python str.split()'s empty-run handling
+        return F.array_remove(F.array_distinct(F.split(c, " ")), "")
+
+    ta, tb = toks(a), toks(b)
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .when(a == b, F.lit(100.0))
+        .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
+        .otherwise(
+            100.0
+            * F.size(F.array_intersect(ta, tb))
+            / F.greatest(F.size(ta), F.size(tb))
+        )
+    )

@@ -51,13 +51,22 @@ def build_merge_edges(agents: DataFrame) -> DataFrame:
     return name_edges.unionByName(viaf_edges).dropDuplicates()
 
 
+# Below this active-entity count the per-iteration label maps are
+# broadcast (hash-to-min with zero join shuffles); above it the loop
+# falls back to repartitioned hash joins at the same derived width.
+BROADCAST_LABELS_MAX = 1_000_000
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
 ) -> tuple[DataFrame, int]:
     """edges(entity_key, merge_key) -> (labels(entity_key, component), iters).
 
-    `component` is the min xxhash64 over the entity's component — stable
-    across runs and partitionings (never a partition-dependent id).
+    `component` is the lexicographic-min entity_key of the component —
+    stable across runs and partitionings, and collision-free (earlier
+    revisions used xxhash64 ids; at 10^12 entities 64-bit birthday
+    collisions would spuriously merge ~1e4 components, so the STRING key
+    stays the identifier end-to-end).
     """
     all_nodes = edges.select("entity_key").dropDuplicates()
 
@@ -74,85 +83,97 @@ def connected_components(
     )
     active = edges.join(shared_keys, "merge_key", "left_semi")
 
-    e = active.select(
-        "entity_key",
-        F.xxhash64("entity_key").alias("eid"),
-        F.xxhash64("merge_key").alias("kid"),
-    ).localCheckpoint()
+    e = active.select("entity_key", "merge_key").localCheckpoint()
 
     iters = 0
     n_active = e.count()
     if n_active == 0:  # nothing shares a key: all singletons, skip the loop
         return (
-            all_nodes.select(
-                "entity_key", F.xxhash64("entity_key").alias("component")
-            ),
+            all_nodes.select("entity_key", F.col("entity_key").alias("component")),
             iters,
         )
 
     # The loop operates on ENTITY-scale data (orders of magnitude smaller
-    # than the corpus). Its per-iteration cost is stage/task overhead, not
-    # compute, so stage width is sized from the active-edge count — NOT
-    # from spark.sql.shuffle.partitions, which is sized for the fact
-    # table. Without this, higher core counts make the loop SLOWER.
+    # than the corpus), so every exchange below is an EXPLICIT repartition
+    # at a width derived from the active-edge count — never the session's
+    # corpus-sized spark.sql.shuffle.partitions (which made the loop
+    # slower on more cores), and never a session-conf mutation (which
+    # would race concurrent queries on a shared session).
     spark = edges.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    cc_parts = max(8, min(int(old_parts), n_active // 100_000 + 1))
-    spark.conf.set(conf_key, str(cc_parts))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_parts = max(8, min(session_parts, n_active // 100_000 + 1))
+    e = e.repartition(cc_parts, "entity_key").localCheckpoint()
 
-    labels = e.select("eid", F.col("eid").alias("label")).dropDuplicates(["eid"])
-    try:
-        labels, iters = _cc_loop(e, labels, max_iterations)
-    finally:
-        spark.conf.set(conf_key, old_parts)
-
-    ids = e.select("entity_key", "eid").dropDuplicates(["eid"])
-    active_labels = ids.join(labels, "eid").select(
-        "entity_key", F.col("label").alias("component")
+    labels = e.select("entity_key").dropDuplicates().select(
+        "entity_key", F.col("entity_key").alias("label")
     )
-    # Singletons keep their own hash as component id.
+    labels, iters = _cc_loop(
+        e, labels, cc_parts, n_active <= BROADCAST_LABELS_MAX, max_iterations
+    )
+
+    active_labels = labels.select("entity_key", F.col("label").alias("component"))
+    # Singletons are their own component.
     singleton_labels = all_nodes.join(
         active_labels.select("entity_key"), "entity_key", "left_anti"
-    ).select("entity_key", F.xxhash64("entity_key").alias("component"))
+    ).select("entity_key", F.col("entity_key").alias("component"))
     return active_labels.unionByName(singleton_labels), iters
 
 
-def _cc_loop(e: DataFrame, labels: DataFrame, max_iterations: int):
+def _cc_loop(
+    e: DataFrame,
+    labels: DataFrame,
+    cc_parts: int,
+    broadcast_maps: bool,
+    max_iterations: int,
+):
+    from pyspark.sql.functions import broadcast as _b
+
+    # label maps are entity-scale; broadcast keeps every join narrow so
+    # one iteration costs exactly ONE cc_parts-wide exchange (the
+    # merge_key re-key). Past BROADCAST_LABELS_MAX, fall back to
+    # repartitioned hash joins at the same width.
+    def dim(df: DataFrame, key: str) -> DataFrame:
+        return _b(df) if broadcast_maps else df.repartition(cc_parts, key)
+
     iters = 0
     for _ in range(max_iterations):
         iters += 1
-        # (1) hash-to-min through the bipartite edges: two shuffles.
+        # (1) hash-to-min through the bipartite edges.
         key_label = (
-            e.join(labels, "eid")
-            .groupBy("kid")
+            e.join(dim(labels, "entity_key"), "entity_key")
+            .repartition(cc_parts, "merge_key")
+            .groupBy("merge_key")
             .agg(F.min("label").alias("klabel"))
         )
         new_labels = (
-            e.join(key_label, "kid")
-            .groupBy("eid")
+            e.join(dim(key_label, "merge_key"), "merge_key")
+            .repartition(cc_parts, "entity_key")
+            .groupBy("entity_key")
             .agg(F.min("klabel").alias("new_label"))
         )
-        merged = labels.join(new_labels, "eid", "left").select(
-            "eid", F.least("label", F.coalesce("new_label", "label")).alias("label"),
+        merged = labels.join(dim(new_labels, "entity_key"), "entity_key", "left").select(
+            "entity_key",
+            F.least("label", F.coalesce("new_label", "label")).alias("label"),
             (F.col("new_label") < F.col("label")).alias("changed"),
         )
-        # (2) pointer-jumping: label <- label(label). Labels are entity ids,
-        # so the mapping applies to itself; this halves chain depth each
-        # round, giving O(log n) convergence on pathological chains
+        # (2) pointer-jumping: label <- label(label). Labels are entity
+        # keys, so the mapping applies to itself; this halves chain depth
+        # each round, giving O(log n) convergence on pathological chains
         # (the shortcutting step of hash-to-min, cf. PAPERS.md CC surveys).
-        l2 = merged.select(F.col("eid").alias("label"), F.col("label").alias("jump"))
+        l2 = merged.select(
+            F.col("entity_key").alias("label"), F.col("label").alias("jump")
+        )
         merged = (
-            merged.join(l2, "label", "left")
+            merged.join(dim(l2, "label"), "label", "left")
             .select(
-                "eid",
+                "entity_key",
                 F.least("label", F.coalesce("jump", "label")).alias("label"),
                 (F.col("changed") | (F.col("jump") < F.col("label"))).alias("changed"),
             )
         )
         merged = merged.localCheckpoint()  # cut lineage growth per iteration
         n_changed = merged.where(F.col("changed")).count()
-        labels = merged.select("eid", "label")
+        labels = merged.select("entity_key", "label")
         if n_changed == 0:
             break
     return labels, iters
@@ -288,4 +309,9 @@ def canonicalize_agents(
         "source_priority",
         "component",
     )
-    return singles.unionByName(canonical), iters
+    # Materialize (entity-scale) so `joined`'s cache can be released
+    # immediately and downstream fan-out reads the checkpoint, not the
+    # twice-branched aggregation plan.
+    out = singles.unionByName(canonical).localCheckpoint(eager=True)
+    joined.unpersist()
+    return out, iters

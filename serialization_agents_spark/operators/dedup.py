@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands x 4 rows: s-curve threshold ~ (1/4)^(1/4) ~ 0.7
@@ -97,23 +98,67 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH bucket-join: docs sharing any band key become a candidate pair.
-    Shuffle is keyed by band value — never a cross join."""
+    Shuffle is keyed by band value — never a cross join.
+
+    `max_bucket` caps the bucket size (None = uncapped, the exact-oracle
+    default). Use minhash_candidate_pairs_capped at scale — it also
+    returns the dropped-bucket accounting."""
+    pairs, _dropped = minhash_candidate_pairs_capped(
+        df, text_col, id_col, n_hashes, band_size, max_bucket
+    )
+    return pairs
+
+
+def minhash_candidate_pairs_capped(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs with a degenerate-bucket cap.
+
+    A band bucket of k docs yields k(k-1)/2 pairs; boilerplate-identical
+    or empty documents can land a whole corpus slice in ONE bucket and
+    go quadratic at scale. Standard practice is to drop (or sample)
+    buckets over a threshold and account for the drop — near-identical
+    docs in a dropped bucket are still caught by exact dedup on the
+    content hash (operators/dedup.py:exact_duplicates).
+
+    Returns (pairs, dropped_buckets(band, bucket_size)) — route the
+    second into the S15 error/audit side table.
+    """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, band_size)
     n_bands = n_hashes // band_size
     bands = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band"),
     ).dropDuplicates()
+
+    if max_bucket is not None:
+        sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("bucket_size"))
+        dropped = sizes.where(F.col("bucket_size") > max_bucket)
+        # anti-join keeps the fact flow one broadcastable dimension away
+        # from the uncapped plan (dropped buckets are few by construction)
+        bands = bands.join(broadcast(dropped.select("band")), "band", "left_anti")
+    else:
+        dropped = (
+            bands.select("band").limit(0).withColumn("bucket_size", F.lit(0).cast("long"))
+        )
+
     a = bands.select(F.col("band"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band"), F.col(id_col).alias("id_b"))
-    return (
+    pairs = (
         a.join(b, "band")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates()
     )
+    return pairs, dropped
 
 
 def ngram_jaccard_pairs(

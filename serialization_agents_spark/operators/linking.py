@@ -40,26 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from serialization_agents_spark.functions.normalize import fuzzy_score_udf
-
-# Floor for Arrow/pandas UDF stage width (worker-import bound in this
-# sandbox); scales with the session's shuffle width on real clusters —
-# see _py_stage_partitions below.
-PY_STAGE_PARTITIONS = 8
-
-
-def _py_stage_partitions(df) -> int:
-    """Width of the Python (Arrow) fuzzy stage.
-
-    Small at low parallelism (each Arrow worker pays a one-time import
-    cost, and dozens importing concurrently thrash the fs cache — the
-    reference bounds its slow path the same way, .parallel(5),
-    /root/reference/lib/utils_shadowcat.js:27), but grows with the
-    session's configured shuffle width so a 1000-executor cluster is not
-    capped at 8 tasks for a genuinely large multi-candidate set.
-    """
-    shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return max(PY_STAGE_PARTITIONS, shuffle_parts // 4)
+from serialization_agents_spark.functions.normalize import fuzzy_score_expr
 
 _AUTH_COLS = [
     "viaf_id", "viaf_all", "type", "lc_id", "getty_id", "wikidata_id",
@@ -187,16 +168,15 @@ def link_mentions(
         F.lit(None).cast("double").alias("fuzzy"),
     )
 
-    # Bound Python-stage parallelism (width derived from the session's
-    # shuffle width — see _py_stage_partitions). The multi-candidate set
-    # is a tiny zipf-tail fraction of mentions, so a narrow stage loses
-    # nothing at sandbox scale and still widens on a real cluster.
+    # Multi-candidate blocks (a tiny zipf-tail fraction) score with the
+    # PURE-JVM fuzzy expression — no Python workers anywhere on the fact
+    # path (fuzzy_score_expr docstring has the scale rationale).
     multi = blocked.where(F.col("n_cands") > 1).select(
         *unmatched.columns, F.explode("cands").alias("auth_n")
-    ).repartition(_py_stage_partitions(blocked), "mention_id")
+    )
     multi = multi.withColumn(
         "fuzzy",
-        fuzzy_score_udf(
+        fuzzy_score_expr(
             F.col("name_norm"),
             F.lower(F.coalesce("auth_n.lc_term", "auth_n.viaf_term")),
         ),

@@ -35,10 +35,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from serialization_agents_spark.functions.normalize import (
-    fuzzy_score_udf,
-    percent_overlap_udf,
+    fuzzy_score_expr,
+    normalize_name_expr,
+    percent_overlap_expr,
 )
-from serialization_agents_spark.functions.normalize import normalize_name_expr
 
 N_SALT = 16
 MAX_ALT_FORMS = 64
@@ -187,16 +187,16 @@ def score_alt_forms(agents: DataFrame) -> DataFrame:
     nameControlled (/root/reference/lib/utils_shadowcat.js:247,401).
 
     Runs on one row per (entity, distinct alt name) — entity-scale data,
-    NOT mention-scale — so the Arrow/pandas stage is tiny. Trivial case
-    (name == controlled) short-circuits to the reference's literal
-    100 / 1.0 without touching Python.
+    NOT mention-scale — and entirely JVM-side (fuzzy_score_expr /
+    percent_overlap_expr). Trivial case (name == controlled)
+    short-circuits to the reference's literal 100 / 1.0.
     """
     has_alt = agents.where(F.size("alt_forms") > 0)
     no_alt = agents.where(F.size("alt_forms") == 0)
 
     af = has_alt.select(
         "entity_key", "name_controlled", F.explode("alt_forms").alias("af")
-    ).repartition(8, "entity_key")  # bound Arrow-worker concurrency
+    )
     same = F.col("af.name") == F.col("name_controlled")
     scored = af.select(
         "entity_key",
@@ -206,11 +206,11 @@ def score_alt_forms(agents: DataFrame) -> DataFrame:
             F.col("af.source").alias("source"),
             F.col("af.id").alias("id"),
             F.when(same, F.lit(100.0))
-            .otherwise(percent_overlap_udf(F.col("af.name"), F.col("name_controlled")))
+            .otherwise(percent_overlap_expr(F.col("af.name"), F.col("name_controlled")))
             .alias("poverlap"),
             F.when(same, F.lit(1.0))
             .otherwise(
-                fuzzy_score_udf(
+                fuzzy_score_expr(
                     normalize_name_expr(F.col("name_controlled")),
                     normalize_name_expr(F.col("af.name")),
                 )

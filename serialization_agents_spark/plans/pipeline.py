@@ -49,6 +49,7 @@ class PipelineResult:
     agents: DataFrame
     canonical: DataFrame
     triples: DataFrame
+    errors: DataFrame | None = None  # S15 audit side table
     cc_iterations: int = 0
     stages_resumed: list[str] = field(default_factory=list)
     stages_computed: list[str] = field(default_factory=list)
@@ -126,6 +127,14 @@ def run_pipeline(
     triples = materialize_triples(canonical, linked)
     triples = materialize(triples, "triples", "subj")
 
+    # S15 — per-row failure audit (reference lib/utils.js:238 logError)
+    from serialization_agents_spark.plans.errors import pipeline_errors
+
+    errors = pipeline_errors(pages_x, mentions, dead, blacklist)
+    if out_dir is not None:
+        errors.write.mode("overwrite").parquet(os.path.join(out_dir, "_errors"))
+        errors = spark.read.parquet(os.path.join(out_dir, "_errors"))
+
     return PipelineResult(
         pages=pages_x,
         mentions=mentions,
@@ -134,6 +143,7 @@ def run_pipeline(
         agents=agents,
         canonical=canonical,
         triples=triples,
+        errors=errors,
         cc_iterations=iters,
         stages_resumed=resumed,
         stages_computed=computed,

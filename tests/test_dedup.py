@@ -8,6 +8,35 @@ from pyspark.sql import functions as F
 from serialization_agents_spark.operators import dedup as D
 
 
+def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
+    """1000 identical docs share every band -> uncapped would be ~500k
+    pairs x 4 bands; the cap drops the degenerate buckets, reports them,
+    and the job stays linear (SURVEY.md §4.4: caps never drop silently)."""
+    import time
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text here").alias("text")
+    )
+    t0 = time.time()
+    pairs, dropped = D.minhash_candidate_pairs_capped(docs, max_bucket=64)
+    assert pairs.count() == 0  # every bucket degenerate -> all dropped
+    rows = dropped.collect()
+    assert [r["bucket_size"] for r in rows] == [1000] * 4  # one per band
+    assert time.time() - t0 < 120
+
+
+def test_lsh_cap_keeps_normal_buckets(spark):
+    """Distinct-text docs keep their candidate pairs under the cap."""
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique words for doc number "), F.col("id")).alias("text"),
+    )
+    capped, dropped = D.minhash_candidate_pairs_capped(docs, max_bucket=64)
+    uncapped, _ = D.minhash_candidate_pairs_capped(docs, max_bucket=None)
+    assert dropped.count() == 0
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
 def _docs(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [

@@ -63,3 +63,87 @@ def test_percent_overlap():
     assert percent_overlap_py("a b c", "a b c") == 100.0
     assert percent_overlap_py("a b", "a c") == 50.0
     assert percent_overlap_py("", "x") == 0.0
+
+
+def _random_pairs(n=400, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abcDEF gh# 123.&'-"
+    pairs = [
+        ("plato", "plato"), ("plato", ""), ("", ""), ("a", "aaaa"),
+        ("hello world", "hw"), ("customer 000000041", "Customer#000000041"),
+    ]
+    for _ in range(n):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        pairs.append((t, q))
+    return pairs
+
+
+def test_fuzzy_expr_parity_sweep(spark):
+    """The pure-JVM fuzzy_score_expr (production path) must equal
+    fuzzy_score_py (canonical impl) on hundreds of random strings."""
+    from serialization_agents_spark.functions.normalize import fuzzy_score_expr
+
+    pairs = _random_pairs()
+    df = spark.createDataFrame(pairs, "t string, q string").select(
+        "t", "q", fuzzy_score_expr(F.col("t"), F.col("q")).alias("s")
+    )
+    for row in df.collect():
+        want = fuzzy_score_py(row["t"], row["q"])
+        assert abs(row["s"] - want) < 1e-9, (row["t"], row["q"], row["s"], want)
+
+
+def test_fuzzy_duckdb_oracle_parity_sweep():
+    """The DuckDB recursive-CTE transcription used by the j4 oracle must
+    walk identically to fuzzy_score_py (rounding excluded — compare raw)."""
+    import duckdb
+
+    rel = "strpos(substr(lower(t), s + 1), substr(lower(q), i + 1, 1))"
+    walk = f"""
+    WITH RECURSIVE walk AS (
+      SELECT t, q, 0 AS i, CAST(0.0 AS DOUBLE) AS r, 0 AS s,
+             CAST(1.0 AS DOUBLE) AS f FROM pq
+      UNION ALL
+      SELECT t, q, i + 1,
+             CASE WHEN rel = 0 THEN r ELSE r
+               + (CASE WHEN rel = 1 THEN 0.7 ELSE 0.1
+                  + (CASE WHEN substr(t, s + rel - 1, 1) = ' ' THEN 0.8 ELSE 0.0 END) END)
+               + (CASE WHEN substr(t, s + rel, 1) = substr(q, i + 1, 1) THEN 0.1 ELSE 0.0 END)
+             END,
+             CASE WHEN rel = 0 THEN s ELSE s + rel END,
+             CASE WHEN rel = 0 THEN f + 0.5 ELSE f END
+      FROM (SELECT t, q, i, r, s, f, {rel} AS rel FROM walk WHERE i < length(q)) x
+    )
+    SELECT t, q,
+           CASE WHEN t = q THEN 1.0 WHEN length(q) = 0 THEN 0.0
+                WHEN substr(lower(q),1,1) = substr(lower(t),1,1)
+                     AND (0.5 * (w.r / length(t) + w.r / length(q)) / w.f) < 0.85
+                THEN (0.5 * (w.r / length(t) + w.r / length(q)) / w.f) + 0.15
+                ELSE (0.5 * (w.r / length(t) + w.r / length(q)) / w.f) END AS fz
+    FROM walk w WHERE i = length(q)
+    """
+    pairs = [(t, q) for t, q in _random_pairs() if t != "" or q != ""]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pq (t VARCHAR, q VARCHAR)")
+    con.executemany("INSERT INTO pq VALUES (?, ?)", pairs)
+    got = {(t, q): v for t, q, v in con.execute(walk).fetchall()}
+    for t, q in pairs:
+        want = fuzzy_score_py(t, q)
+        assert abs(got[(t, q)] - want) < 1e-9, (t, q, got[(t, q)], want)
+
+
+def test_percent_overlap_expr_parity(spark):
+    from serialization_agents_spark.functions.normalize import percent_overlap_expr
+
+    pairs = [
+        ("a b c", "a b c"), ("a b", "a c"), ("", "x"), ("", ""),
+        ("a  b", "a b"), (" lead", "lead"), ("x y z w", "z"),
+    ] + _random_pairs(100)
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b", percent_overlap_expr(F.col("a"), F.col("b")).alias("p")
+    )
+    for row in df.collect():
+        want = percent_overlap_py(row["a"], row["b"])
+        assert abs(row["p"] - want) < 1e-9, (row["a"], row["b"], row["p"], want)

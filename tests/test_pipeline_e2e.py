@@ -38,6 +38,49 @@ def _pr(spark_triples: set, oracle_triples: set) -> tuple[float, float]:
     return precision, recall
 
 
+def test_error_log_side_table(spark, corpus, tmp_path):
+    """S15 — corrupted/blacklisted/dead inputs produce audit rows in the
+    `_errors` side table instead of disappearing silently
+    (reference lib/utils.js:238 logError)."""
+    pages, authority, redirects, blacklist = corpus
+    junk = spark.createDataFrame(
+        [
+            # html that strips to nothing -> extract/empty_text
+            ("u://junk/1", None, b"<html><head><title>x</title></head><body>"
+             b"<nav>only nav</nav></body></html>", None, "en"),
+            # blacklisted junk name -> link/blacklisted_name
+            ("u://junk/2", None, b'<p><span class="agent">Unknown</span></p>',
+             None, "en"),
+            # golden deleted VIAF id 9431627 (test/viaf.test.js:22-30)
+            # -> link/dead_viaf
+            ("u://junk/3", None,
+             b'<p><span class="agent" data-viaf="9431627">Ghost</span></p>',
+             None, "en"),
+        ],
+        pages.schema,
+    )
+    res = run_pipeline(
+        spark, pages.unionByName(junk), authority, redirects, blacklist,
+        out_dir=str(tmp_path / "out"),
+    )
+    errs = res.errors.collect()
+    by_reason = {}
+    for r in errs:
+        by_reason.setdefault(r["reason"], []).append(r)
+    assert [e["url"] for e in by_reason["empty_text"]] == ["u://junk/1"]
+    assert [(e["url"], e["detail"]) for e in by_reason["blacklisted_name"]] == [
+        ("u://junk/2", "Unknown")
+    ]
+    assert [(e["url"], e["detail"]) for e in by_reason["dead_viaf"]] == [
+        ("u://junk/3", "9431627")
+    ]
+    for e in errs:
+        assert e["stage"] in ("extract", "link")
+    # errors must NOT leak into the graph: blacklisted/dead mentions are
+    # dropped or name-linked, never viaf-linked to the dead id
+    assert res.triples.where(F.col("obj").contains("9431627")).count() == 0
+
+
 def test_triples_match_oracle(spark, corpus):
     pages, authority, redirects, blacklist = corpus
     res = run_pipeline(spark, pages, authority, redirects, blacklist)
