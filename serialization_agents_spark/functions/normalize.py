@@ -17,9 +17,11 @@ package (monkey-patches a `string_score`-style fuzzy scorer onto String):
   identical strings (:401). Only metadata — monotone equivalence suffices.
 
 Determinism note: `normalize_name_py` is the canonical byte-stable
-definition (pure `unicodedata`, no locale dependence); the Spark
-expression and the DuckDB oracle SQL reproduce it exactly for any input
-whose accent-folding is covered by NFKD (all our corpora).
+definition (pure `unicodedata` NFD fold + a small explicit table for
+non-decomposable letters, no locale dependence); the Spark expression's
+translate table is GENERATED from the same fold, and DuckDB's
+strip_accents matches NFD semantics — all three engines agree by
+construction (property-swept over Basic Latin..Latin Extended-B).
 """
 
 from __future__ import annotations
@@ -35,6 +37,47 @@ from pyspark.sql.types import DoubleType, StringType
 
 _NON_ALNUM = re.compile(r"[^a-z0-9]+")
 
+# Single-char folds for letters NFKD canNOT decompose (no combining mark
+# to strip). Multi-char ligature expansions (æ->ae, œ->oe, ß->ss) are NOT
+# folded — F.translate is strictly 1:1, so the canonical impl treats them
+# as non-alphanumerics (-> space) to stay byte-identical across engines.
+_EXTRA_SRC = "øłđıŋ"
+_EXTRA_DST = "oldin"
+_EXTRA_MAP = str.maketrans(_EXTRA_SRC, _EXTRA_DST)
+
+
+def _gen_fold_table() -> tuple[str, str]:
+    """Generate the JVM translate() table from the canonical NFD fold:
+    every Latin-1 Supplement .. Latin Extended-B lowercase char whose
+    NFD decomposition strips to a single ASCII letter, plus the
+    non-decomposable extras above. Deterministic (pure unicodedata) —
+    the JVM path and normalize_name_py agree by CONSTRUCTION, asserted
+    over the whole Basic Latin..Extended-B range by tests/test_normalize.
+
+    NFD (canonical-only), NOT NFKD: compatibility decompositions are
+    one-to-many (¼ -> '1⁄4', ª -> 'a'), which a 1:1 translate cannot
+    express and DuckDB's strip_accents does not perform either — NFD is
+    the semantics all three engines share.
+    """
+    # Both cases enter the table and translate runs BEFORE lower(): JVM
+    # lower() expands 'İ' to 'i' + combining dot, which a post-lower
+    # table can never fold back. The fold composes NFD + _EXTRA_MAP so
+    # accented non-decomposables (ǿ -> ø -> o) land too.
+    src, dst = [], []
+    for cp in range(0xA0, 0x250):
+        ch = chr(cp)
+        folded = "".join(
+            c for c in unicodedata.normalize("NFD", ch) if not unicodedata.combining(c)
+        )
+        folded = folded.lower().translate(_EXTRA_MAP)
+        if len(folded) == 1 and folded.isascii() and folded.isalnum():
+            src.append(ch)
+            dst.append(folded)
+    return "".join(src), "".join(dst)
+
+
+_FOLD_SRC, _FOLD_DST = _gen_fold_table()
+
 
 # ---------------------------------------------------------------------------
 # X1 — normalize / blocking key
@@ -43,11 +86,12 @@ def normalize_name_py(s: str | None) -> str | None:
     """Canonical byte-stable normalization (driver/oracle reference impl)."""
     if s is None:
         return None
-    # NFKD-decompose, drop combining marks (accent folding).
+    # NFD-decompose (canonical only — see _gen_fold_table for why not
+    # NFKD), drop combining marks (accent folding).
     folded = "".join(
-        ch for ch in unicodedata.normalize("NFKD", s) if not unicodedata.combining(ch)
+        ch for ch in unicodedata.normalize("NFD", s) if not unicodedata.combining(ch)
     )
-    return _NON_ALNUM.sub(" ", folded.lower()).strip()
+    return _NON_ALNUM.sub(" ", folded.lower().translate(_EXTRA_MAP)).strip()
 
 
 @pandas_udf(StringType())
@@ -57,22 +101,25 @@ def normalize_name_udf(s: pd.Series) -> pd.Series:
 
 
 def normalize_name_expr(col: Column) -> Column:
-    """JVM-side fast path (whole-stage codegen) — exact for inputs whose
-    accented chars are in the Latin-1/Latin-Extended-A table below; falls
-    back to dropping other non-alnum chars as whitespace, same as the
-    canonical impl does for punctuation.
+    """JVM-side fast path (whole-stage codegen), byte-identical to
+    normalize_name_py over the full Latin-1..Latin-Extended-B range: the
+    translate table is GENERATED from the same NFKD fold (see
+    _gen_fold_table), so the two impls cannot drift. Chars outside the
+    table fold to whitespace in both (same as punctuation).
 
-    Keep this in the hot path: it is ~10-50x cheaper than the pandas UDF
-    and byte-identical on ASCII + common-European-name input.
+    Keep this in the hot path: ~10-50x cheaper than the pandas UDF.
     """
-    src = "áàâäãåāéèêëēíìîïīóòôöõøōúùûüūýÿñçćčšžłđğışńḿẃŕ"
-    dst = "aaaaaaaeeeeeiiiiiooooooouuuuuyyncccszldgisnmwr"
-    folded = F.translate(F.lower(col), src, dst)
+    folded = F.lower(F.translate(col, _FOLD_SRC, _FOLD_DST))
     return F.trim(F.regexp_replace(folded, r"[^a-z0-9]+", " "))
 
 
-# DuckDB-equivalent SQL fragment (for oracle_sql parity checks).
-NORMALIZE_SQL = "trim(regexp_replace(lower(strip_accents({col})), '[^a-z0-9]+', ' ', 'g'))"
+# DuckDB-equivalent SQL fragment (for oracle_sql parity checks): DuckDB's
+# strip_accents is NFKD-equivalent for the decomposable range; the extras
+# need the same explicit translate.
+NORMALIZE_SQL = (
+    "trim(regexp_replace(translate(lower(strip_accents({col})), "
+    f"'{_EXTRA_SRC}', '{_EXTRA_DST}'), '[^a-z0-9]+', ' ', 'g'))"
+)
 
 
 # ---------------------------------------------------------------------------

@@ -193,6 +193,11 @@ def canonicalize_agents(
 ) -> tuple[DataFrame, int]:
     """Merge agent rows whose components collide; returns (canonical
     agents, cc_iterations). Input is `merge_entities` output."""
+    # The CC machinery below issues several driver actions (edge counts,
+    # convergence counts, the output checkpoint); `agents` sits on the
+    # far side of the fact-table merge shuffle, so materialize it ONCE —
+    # entity-scale — instead of re-running the merge per action.
+    agents = agents.localCheckpoint(eager=True)
     edges = build_merge_edges(agents)
     labels, iters = connected_components(edges, max_iterations)
     # labels is entity-scale and fans out into sizes/joins/two branches —

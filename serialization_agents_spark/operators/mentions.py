@@ -57,64 +57,55 @@ def detect_mentions(
     """
     html_s = F.col("html").cast("string")
 
-    hinted = pages.select(
-        "url",
-        F.posexplode(
-            F.arrays_zip(
-                F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(2)).alias("name"),
-                F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(1)).alias("viaf"),
-            )
-        ).alias("pos", "m"),
-    ).select(
-        "url",
-        F.col("m.name").alias("name_raw"),
-        F.nullif(F.col("m.viaf"), F.lit("")).alias("viaf_hint"),
-        F.lit(None).cast("string").alias("lc_hint"),
-        F.col("pos"),
-    )
+    # ONE pass over each page: the three span kinds are gathered into a
+    # single struct array and exploded once. (A union of three per-kind
+    # branches re-executes the whole upstream page plan per branch —
+    # 3x the scan at 100 TB.)
+    def _span(name: F.Column, viaf: F.Column, lc: F.Column) -> F.Column:
+        return F.struct(
+            name.alias("name_raw"), viaf.alias("viaf_hint"), lc.alias("lc_hint")
+        )
 
+    null_s = F.lit(None).cast("string")
+    hinted = F.transform(
+        F.arrays_zip(
+            F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(2)).alias("name"),
+            F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(1)).alias("viaf"),
+        ),
+        lambda m: _span(m["name"], F.nullif(m["viaf"], F.lit("")), null_s),
+    )
     # P3 — LCNAF URI -> id, the reference's `split('/names/')[1]`
     # (/root/reference/lib/utils_mms.js:67-70). Non-LC URIs yield NULL.
-    lc_hinted = pages.select(
-        "url",
-        F.posexplode(
-            F.arrays_zip(
-                F.regexp_extract_all(html_s, F.lit(MARKUP_LCNAF_RE), F.lit(2)).alias("name"),
-                F.regexp_extract_all(html_s, F.lit(MARKUP_LCNAF_RE), F.lit(1)).alias("uri"),
-            )
-        ).alias("pos", "m"),
-    ).select(
-        "url",
-        F.col("m.name").alias("name_raw"),
-        F.lit(None).cast("string").alias("viaf_hint"),
-        F.nullif(
-            F.regexp_extract(F.col("m.uri"), LCNAF_URI_ID_RE, 1), F.lit("")
-        ).alias("lc_hint"),
-        (F.col("pos") + 500).alias("pos"),
+    lc_hinted = F.transform(
+        F.arrays_zip(
+            F.regexp_extract_all(html_s, F.lit(MARKUP_LCNAF_RE), F.lit(2)).alias("name"),
+            F.regexp_extract_all(html_s, F.lit(MARKUP_LCNAF_RE), F.lit(1)).alias("uri"),
+        ),
+        lambda m: _span(
+            m["name"],
+            null_s,
+            F.nullif(F.regexp_extract(m["uri"], LCNAF_URI_ID_RE, 1), F.lit("")),
+        ),
+    )
+    plain = F.transform(
+        F.regexp_extract_all(html_s, F.lit(MARKUP_PLAIN_RE), F.lit(1)),
+        lambda s: _span(s, null_s, null_s),
     )
 
-    plain = pages.select(
+    out = pages.select(
         "url",
-        F.posexplode(
-            F.regexp_extract_all(html_s, F.lit(MARKUP_PLAIN_RE), F.lit(1))
-        ).alias("pos", "name_raw"),
-    ).select(
-        "url", "name_raw", F.lit(None).cast("string").alias("viaf_hint"),
-        F.lit(None).cast("string").alias("lc_hint"),
-        (F.col("pos") + 1000).alias("pos"),  # occurrence-space offset per detector
+        F.posexplode(F.concat(hinted, lc_hinted, plain)).alias("pos", "m"),
     )
-
-    out = hinted.unionByName(lc_hinted).unionByName(plain)
     return out.select(
         "url",
         F.xxhash64(
-            "url", "name_raw", F.coalesce("viaf_hint", F.lit("")),
-            F.coalesce("lc_hint", F.lit("")), "pos",
+            "url", "m.name_raw", F.coalesce("m.viaf_hint", F.lit("")),
+            F.coalesce("m.lc_hint", F.lit("")), "pos",
         ).alias("mention_id"),
-        "name_raw",
-        normalize_name_expr(F.col("name_raw")).alias("name_norm"),
-        "viaf_hint",
-        "lc_hint",
+        F.col("m.name_raw").alias("name_raw"),
+        normalize_name_expr(F.col("m.name_raw")).alias("name_norm"),
+        F.col("m.viaf_hint").alias("viaf_hint"),
+        F.col("m.lc_hint").alias("lc_hint"),
         F.lit(source).alias("source"),
         F.lit(source_priority).cast("int").alias("source_priority"),
     ).where(F.length("name_norm") > 0)

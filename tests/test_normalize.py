@@ -47,6 +47,28 @@ def test_normalize_handles_null_and_empty():
     assert normalize_name_py("!!!") == ""
 
 
+def test_normalize_expr_matches_py_full_latin_range(spark):
+    """Property: the JVM translate path and the canonical NFKD impl agree
+    for EVERY char in Basic Latin .. Latin Extended-B, embedded in a name
+    (catches both table gaps like ő and non-decomposables like ø/ł/đ)."""
+    rows = [(f"Na{chr(cp)}me, Test", cp) for cp in range(0x20, 0x250)]
+    df = spark.createDataFrame(rows, "raw string, cp int").select(
+        "raw", "cp", normalize_name_expr(F.col("raw")).alias("norm")
+    )
+    bad = [
+        (r["cp"], r["raw"], r["norm"], normalize_name_py(r["raw"]))
+        for r in df.collect()
+        if r["norm"] != normalize_name_py(r["raw"])
+    ]
+    assert not bad, bad[:10]
+
+
+def test_normalize_non_decomposable_folds():
+    assert normalize_name_py("Søren Łukasz Đorđe") == "soren lukasz dorde"
+    # ligatures are out of scope for 1:1 translate -> whitespace in both
+    assert normalize_name_py("Ælfric") == "lfric"
+
+
 def test_fuzzy_score_identity_and_ordering():
     assert fuzzy_score_py("plato", "plato") == 1.0
     assert fuzzy_score_py("plato", "") == 0.0
