@@ -499,6 +499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             normalize_name_expr(F.col("c_name")).alias("target"),
             F.explode(F.array(k, (k + 7) % n)).alias("cand_key"),
         ).withColumn("query", F.format_string("Customer#%09d", F.col("cand_key")))
+        # exchange barrier: target/query become concrete columns, keeping
+        # the normalize regex OUT of the interpreted walk's step exprs
+        pairs = pairs.repartition(8, "mention_key")
         return pairs.select(
             "mention_key",
             "cand_key",
@@ -609,6 +612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = emb.where(F.col("vec_id") >= 5)
         return S.lsh_bucket_topk(corpus, queries_df, k=3)
 
+    def ann_lsh_multiprobe_top3(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5)
+        return S.lsh_bucket_topk(corpus, queries_df, k=3, n_probes=3)
+
     def text_lang_id(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -638,6 +647,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = synth_media(spark, n=200)
         return extract_image_features(media, fake=True).select(
             "media_id", "width", "height", "channels", "decode_ok"
+        )
+
+    def multimodal_audio_features(spark, sf):
+        from serialization_agents_spark.operators.multimodal import (
+            extract_audio_features,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=200)
+        return extract_audio_features(media).select(
+            "media_id", "sample_rate", "duration_ms", "decode_ok"
+        )
+
+    def multimodal_frame_sample(spark, sf):
+        from serialization_agents_spark.operators.multimodal import (
+            sample_video_frames,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=200)
+        return sample_video_frames(media, every_ms=1000, max_frames=16).select(
+            "media_id", "frame_idx", "ts_ms"
         )
 
     # ---- KG pipeline over derived pages ----------------------------------
@@ -783,11 +814,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine_top3": ann_cosine_top3,
         "ann_lsh_top3": ann_lsh_top3,
+        "ann_lsh_multiprobe_top3": ann_lsh_multiprobe_top3,
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
         "text_token_counts": text_token_counts,
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
+        "multimodal_frame_sample": multimodal_frame_sample,
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
         "p4_promoted_mentions": p4_promoted_mentions,

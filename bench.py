@@ -35,6 +35,8 @@ HEADLINE = [
     "o2_window_top1_orders",
     "a5_groupby_set_union",
     "o4_sessionize",
+    "j4_fuzzy_scores",
+    "j5_variant_match",
 ]
 
 

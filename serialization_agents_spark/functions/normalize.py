@@ -187,6 +187,15 @@ def fuzzy_score_expr(target: Column, query: Column) -> Column:
     Python workers entirely (worker init is seconds per executor slot
     here and the scorer sits on the J4 hot path at 100 TB). The pandas
     UDF above remains as the Arrow reference implementation.
+
+    ARG CONTRACT: pass CHEAP column references (concrete columns or
+    struct fields), never expression trees. Higher-order functions are
+    interpreted (no codegen, no common-subexpression elimination), and
+    the walk references target/query ~4x PER STEP — an inlined
+    regexp/normalize argument re-executes ~80x per row. Pre-project
+    expensive args behind an exchange (see merge.score_alt_forms), or
+    better, compute block-constant scores on the dimension side
+    (see linking's name_best).
     """
     t, q = target, query
     lt, lq = F.lower(t), F.lower(q)

@@ -143,61 +143,67 @@ def link_mentions(
     m = m.withColumn("auth_hit", F.coalesce("auth_v", "auth_l")).drop("auth_v", "auth_l")
 
     # --- J4: normalized-name block + fuzzy top-1 for the rest ------------
-    # Candidates are PRE-GROUPED per blocking key so the common case (0 or
-    # 1 candidate in the block) is a plain broadcast join with NO explode,
-    # NO window shuffle, and NO Python. Only multi-candidate blocks — a
-    # tiny, zipf-tail fraction — pay the string_score UDF + per-mention
-    # argmax (reference semantics, lib/utils.js:53-61: the block requires
-    # exact normalized-name equality, the fuzzy score only breaks ties).
-    name_groups = (
-        authority.select(
-            F.explode("normalized").alias("name_norm"),
-            F.struct(*_AUTH_COLS).alias("auth_n"),
+    # KEY SCALE INSIGHT: the block requires EXACT normalized-name equality
+    # (lib/utils.js:44-52), so the fuzzy argmax (lib/utils.js:53-61) is a
+    # pure function of the BLOCK — every mention in a block has
+    # name_norm == the blocking key and sees the same candidates. The
+    # argmax therefore runs ONCE PER BLOCK on the entity-scale dimension
+    # (an F.aggregate fold over the sorted candidates: strictly-greater
+    # keeps the earlier, viaf_id-ordered candidate — the reference's
+    # `score > bestScore` first-wins semantics), and the 100 TB fact side
+    # pays only a broadcast hash join. No explode, no window shuffle, no
+    # branch union, no per-mention scoring. (An earlier revision ran the
+    # interpreted fold per mention row; projection collapse then inlined
+    # copies of it — and of the normalize regex feeding name_norm — into
+    # every downstream column, which dominated the whole pipeline.)
+    exploded = authority.select(
+        F.explode("normalized").alias("name_norm"),
+        F.struct(*_AUTH_COLS).alias("auth_n"),
+    )
+
+    def _score(cand):
+        return fuzzy_score_expr(
+            F.col("name_norm"), F.lower(F.coalesce(cand["lc_term"], cand["viaf_term"]))
         )
-        .groupBy("name_norm")
+
+    cand_t = exploded.schema["auth_n"].dataType
+    best_t = f"struct<a:{cand_t.simpleString()},s:double>"
+    argmax = F.aggregate(
+        F.col("cands"),
+        F.lit(None).cast(best_t),
+        lambda acc, c: F.when(
+            acc.isNull() | (_score(c) > acc["s"]),
+            F.struct(c.alias("a"), _score(c).alias("s")),
+        ).otherwise(acc),
+    )
+    name_best = (
+        exploded.groupBy("name_norm")
         .agg(F.array_sort(F.collect_list("auth_n")).alias("cands"))
+        .select(
+            "name_norm",
+            # single-candidate fast path skips scoring (the common case)
+            F.when(
+                F.size("cands") == 1,
+                F.struct(
+                    F.element_at("cands", 1).alias("a"),
+                    F.lit(None).cast("double").alias("s"),
+                ),
+            ).otherwise(argmax).alias("nb"),
+        )
+        # block-constant argmax is computed once here (entity scale), not
+        # per fact row: materialize so the broadcast ships VALUES
+        .localCheckpoint(eager=True)
     )
-    unmatched = m.where(F.col("auth_hit").isNull()).drop("auth_hit")
-    blocked = unmatched.join(broadcast(name_groups), "name_norm", "left").withColumn(
-        "n_cands", F.coalesce(F.size("cands"), F.lit(0))
+    m = m.join(broadcast(name_best), "name_norm", "left")
+    linked = (
+        m.select(
+            *[c for c in m.columns if c != "nb"],
+            F.coalesce("auth_hit", F.col("nb")["a"]).alias("_hit"),
+            F.when(F.col("auth_hit").isNull(), F.col("nb")["s"]).alias("fuzzy"),
+        )
+        .drop("auth_hit")
+        .withColumnRenamed("_hit", "auth_hit")
     )
-
-    single = blocked.where(F.col("n_cands") <= 1).select(
-        *unmatched.columns,
-        F.element_at("cands", 1).alias("auth_hit"),
-        F.lit(None).cast("double").alias("fuzzy"),
-    )
-
-    # Multi-candidate blocks (a tiny zipf-tail fraction) score with the
-    # PURE-JVM fuzzy expression — no Python workers anywhere on the fact
-    # path (fuzzy_score_expr docstring has the scale rationale).
-    multi = blocked.where(F.col("n_cands") > 1).select(
-        *unmatched.columns, F.explode("cands").alias("auth_n")
-    )
-    multi = multi.withColumn(
-        "fuzzy",
-        fuzzy_score_expr(
-            F.col("name_norm"),
-            F.lower(F.coalesce("auth_n.lc_term", "auth_n.viaf_term")),
-        ),
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("mention_id").orderBy(
-        F.desc_nulls_last("fuzzy"), F.asc("auth_n.viaf_id")
-    )
-    multi_best = (
-        multi.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-        .withColumnRenamed("auth_n", "auth_hit")
-        .select(*single.columns)
-    )
-
-    matched = m.where(F.col("auth_hit").isNotNull()).withColumn(
-        "fuzzy", F.lit(None).cast("double")
-    ).select(*single.columns)
-    linked = matched.unionByName(single).unionByName(multi_best)
 
     # --- entity key: deterministic, order-free ----------------------------
     linked = linked.withColumn(

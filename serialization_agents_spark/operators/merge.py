@@ -195,8 +195,13 @@ def score_alt_forms(agents: DataFrame) -> DataFrame:
     no_alt = agents.where(F.size("alt_forms") == 0)
 
     af = has_alt.select(
-        "entity_key", "name_controlled", F.explode("alt_forms").alias("af")
-    )
+        "entity_key", "name_controlled", F.explode("alt_forms").alias("af"),
+        # pre-project the normalized scorer args: the exchange below makes
+        # them CONCRETE columns, so CollapseProject cannot inline the
+        # normalize regex into every step of the interpreted fuzzy walk
+        normalize_name_expr(F.col("name_controlled")).alias("_nc_norm"),
+        normalize_name_expr(F.col("af.name")).alias("_af_norm"),
+    ).repartition(8, "entity_key")  # entity-scale width + projection barrier
     same = F.col("af.name") == F.col("name_controlled")
     scored = af.select(
         "entity_key",
@@ -209,12 +214,7 @@ def score_alt_forms(agents: DataFrame) -> DataFrame:
             .otherwise(percent_overlap_expr(F.col("af.name"), F.col("name_controlled")))
             .alias("poverlap"),
             F.when(same, F.lit(1.0))
-            .otherwise(
-                fuzzy_score_expr(
-                    normalize_name_expr(F.col("name_controlled")),
-                    normalize_name_expr(F.col("af.name")),
-                )
-            )
+            .otherwise(fuzzy_score_expr(F.col("_nc_norm"), F.col("_af_norm")))
             .alias("fuzzy"),
         ).alias("af"),
     )

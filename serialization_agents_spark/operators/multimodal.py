@@ -89,13 +89,126 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return images.mapInPandas(decode_image_batches(fake=fake), IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, duration_ms int, "
+    "feature array<float>, decode_ok boolean"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms int, frame binary"
+
+RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
+
+
+def _fake_audio_decode(content: bytes, n_features: int = 8) -> tuple[int, list[float]]:
+    """Deterministic stand-in for librosa/ffmpeg: a duration and a
+    spectrogram-summary vector derived from the content digest."""
+    d = hashlib.md5(b"audio:" + (content or b"")).digest()
+    duration_ms = 500 + int.from_bytes(d[:2], "big") % 60_000
+    feats = [round(b / 255.0, 6) for b in d[2 : 2 + n_features]]
+    return duration_ms, feats
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """media -> AUDIO_FEATURES rows (narrow mapInPandas; `kind` filter
+    pushed down before the Python stage, sample_rate carried from meta)."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding requires librosa/ffmpeg, not present in "
+            "this environment; pass fake=True to exercise the pipeline"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, sr in zip(
+                pdf["media_id"], pdf["content"], pdf["sample_rate"]
+            ):
+                try:
+                    dur, feats = _fake_audio_decode(bytes(content or b""))
+                    rows.append((mid, sr, dur, feats, True))
+                except Exception:
+                    rows.append((mid, sr, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "duration_ms", "feature", "decode_ok"],
+            )
+
+    audio = media.where(F.col("kind") == "audio").select(
+        "media_id", "content", F.col("meta.sample_rate").alias("sample_rate")
+    )
+    return audio.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16, fake: bool = True
+) -> DataFrame:
+    """UDTF-shaped fan-out: one row per sampled frame. The fake decoder
+    derives a deterministic duration from the digest and emits md5-chained
+    frame payloads; a real deployment swaps in ffmpeg keyframe extraction
+    with the identical (schema, fan-out, batching) shape."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, not present in this "
+            "environment; pass fake=True to exercise the pipeline"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content or b"")
+                duration_ms, _ = _fake_audio_decode(b)
+                n = min(max_frames, max(1, duration_ms // every_ms))
+                for i in range(n):
+                    frame = hashlib.md5(b + i.to_bytes(4, "big")).digest()
+                    rows.append((mid, i, i * every_ms, frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    videos = media.where(F.col("kind") == "video").select("media_id", "content")
+    return videos.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Image resize kernel (PIL thumbnail in a real deployment); the fake
+    path emits a digest-derived payload of deterministic size so the
+    Spark-side shape — narrow map, binary out, metadata columns — is real."""
+    if not fake:
+        raise NotImplementedError(
+            "real resizing requires PIL, not present in this environment; "
+            "pass fake=True to exercise the pipeline"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                seed = hashlib.md5(
+                    (content or b"") + f"{width}x{height}".encode()
+                ).digest()
+                payload = (seed * ((width * height) // len(seed) + 1))[: width * height]
+                rows.append((mid, width, height, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    images = media.where(F.col("kind") == "image").select("media_id", "content")
+    return images.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
 def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table (binary payload = md5-chained bytes)."""
     df = spark.range(n)
     payload = F.sha2(F.concat(F.lit("media"), F.col("id").cast("string")), 256)
+    kind = (
+        F.when(F.col("id") % 3 == 0, "audio")
+        .when(F.col("id") % 7 == 1, "video")
+        .otherwise("image")
+    )
     return df.select(
         F.col("id").alias("media_id"),
-        F.when(F.col("id") % 3 == 0, "audio").otherwise("image").alias("kind"),
+        kind.alias("kind"),
         F.encode(payload, "utf-8").cast("binary").alias("content"),
         F.struct(
             F.lit(None).cast("int").alias("width"),

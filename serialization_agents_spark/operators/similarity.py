@@ -89,30 +89,70 @@ def lsh_bucket_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit signature over n_planes.
     Query and corpus rows meet in a hash join on the bucket key, then
-    exact cosine re-ranks within the bucket. Recall < 1 by construction;
-    raise n_planes' table count (multi-probe) for higher recall."""
+    exact cosine re-ranks within the bucket.
+
+    `n_probes` > 0 enables MULTI-PROBE: each query additionally probes
+    the buckets reached by flipping its `n_probes` lowest-|margin| sign
+    bits (the planes the vector sits closest to — where hashing noise
+    most likely flipped a true neighbor). Recall rises steeply with a
+    few probes while the corpus side stays one-bucket-per-vector, so the
+    join fan-out is only (1 + n_probes) x queries — not corpus-sized.
+    """
     planes = [_hyperplane(dim, seed, p) for p in range(n_planes)]
 
-    def signature(vec: Column) -> Column:
-        bits = [
-            F.when(
-                _dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, "1"
-            ).otherwise("0")
-            for plane in planes
-        ]
-        return F.concat(*bits)
+    def dots(vec: Column) -> Column:
+        return F.array(
+            *[_dot(vec, F.array(*[F.lit(float(w)) for w in plane])) for plane in planes]
+        )
+
+    def sig_from_dots(d: Column) -> Column:
+        return F.array_join(
+            F.transform(d, lambda x: F.when(x >= 0, "1").otherwise("0")), ""
+        )
 
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", signature(F.col("cv")))
+    ).withColumn("bucket", sig_from_dots(dots(F.col("cv"))))
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", signature(F.col("qv")))
+    ).withColumn("_d", dots(F.col("qv")))
+    base_sig = sig_from_dots(F.col("_d"))
+    if n_probes > 0:
+        # indices of the n_probes smallest |margin| bits, via sorted
+        # (|margin|, idx) structs; flip each in the base signature.
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda i: F.struct(
+                        F.abs(F.element_at(F.col("_d"), i + 1)).alias("m"),
+                        i.alias("i"),
+                    ),
+                )
+            ),
+            1, n_probes,
+        )
+
+        def _flip(sig: Column, i: Column) -> Column:
+            return F.concat(
+                F.substr(sig, F.lit(1), i),
+                F.when(F.substr(sig, i + 1, F.lit(1)) == "1", "0").otherwise("1"),
+                F.substr(sig, i + 2, F.lit(n_planes)),
+            )
+
+        probes = F.transform(ranked, lambda s: _flip(base_sig, s["i"]))
+        q = q.withColumn(
+            "bucket", F.explode(F.array_union(F.array(base_sig), probes))
+        ).drop("_d")
+    else:
+        q = q.withColumn("bucket", base_sig).drop("_d")
 
     scored = (
         c.join(q, "bucket")
@@ -121,6 +161,8 @@ def lsh_bucket_topk(
             "query_id", "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
         )
+        # multi-probe: a pair can meet in several probed buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

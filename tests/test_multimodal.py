@@ -7,7 +7,10 @@ import pytest
 
 from serialization_agents_spark.operators.multimodal import (
     decode_image_batches,
+    extract_audio_features,
     extract_image_features,
+    resize_images,
+    sample_video_frames,
     synth_media,
 )
 
@@ -16,17 +19,58 @@ def test_image_feature_extraction_schema_and_determinism(spark):
     media = synth_media(spark, n=60)
     out = extract_image_features(media, fake=True)
     rows = {r["media_id"]: r for r in out.collect()}
-    # only image rows (id % 3 != 0) survive the kind filter
-    assert set(rows) == {i for i in range(60) if i % 3 != 0}
-    r = rows[1]
+    # only image rows (not audio id%3==0, not video id%7==1) survive
+    assert set(rows) == {
+        i for i in range(60) if i % 3 != 0 and i % 7 != 1
+    }
+    r = rows[2]
     assert r["decode_ok"] and r["channels"] == 3
     assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
     assert len(r["feature"]) == 8
     # deterministic across runs
     rows2 = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
-    assert rows2[1]["feature"] == r["feature"]
+    assert rows2[2]["feature"] == r["feature"]
 
 
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_batches(fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(None, fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_images(None, fake=False)
+
+
+def test_audio_features_kind_filter_and_meta_carry(spark):
+    media = synth_media(spark, n=42)
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(rows) == {i for i in range(42) if i % 3 == 0}
+    r = rows[0]
+    assert r["decode_ok"] and r["sample_rate"] == 16000
+    assert 500 <= r["duration_ms"] <= 60_500 and len(r["feature"]) == 8
+
+
+def test_frame_sampling_fanout_is_bounded_and_deterministic(spark):
+    media = synth_media(spark, n=50)
+    frames = sample_video_frames(media, every_ms=1000, max_frames=16)
+    rows = frames.collect()
+    vids = {i for i in range(50) if i % 3 != 0 and i % 7 == 1}
+    assert {r["media_id"] for r in rows} == vids
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+        assert len(r["frame"]) == 16  # md5 payload per frame
+    for mid, fs in per.items():
+        assert 1 <= len(fs) <= 16
+        assert sorted(fs) == [(i, i * 1000) for i in range(len(fs))]
+    # deterministic re-run
+    again = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect())
+    first = sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in rows)
+    assert again == first
+
+
+def test_resize_payload_shape(spark):
+    media = synth_media(spark, n=20)
+    out = resize_images(media, width=32, height=8).collect()
+    assert all(len(r["content"]) == 32 * 8 for r in out)
+    assert all(r["width"] == 32 and r["height"] == 8 for r in out)
