@@ -195,14 +195,11 @@ def _kg_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markup mentions plus the P4-promoted name-typed subjects."""
-    from serialization_agents_spark.operators.mentions import (
-        detect_mentions,
-        promote_subject_mentions,
-    )
+    """Markup mentions plus the P4-promoted name-typed subjects — one
+    page scan for all span kinds."""
+    from serialization_agents_spark.operators.mentions import detect_mentions
 
-    pages = _kg_pages(spark, sf_dir)
-    return detect_mentions(pages).unionByName(promote_subject_mentions(pages))
+    return detect_mentions(_kg_pages(spark, sf_dir), include_subjects=True)
 
 
 def _kg_canonical(spark: SparkSession, sf_dir: str):

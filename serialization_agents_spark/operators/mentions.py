@@ -47,23 +47,34 @@ LCNAF_URI_ID_RE = r"/names/([^/\"]+)$"
 
 
 def detect_mentions(
-    pages: DataFrame, source: str = "web", source_priority: int = 1
+    pages: DataFrame,
+    source: str = "web",
+    source_priority: int = 1,
+    include_subjects: bool = False,
+    subject_source: str = "web_subject",
+    subject_priority: int = 2,
 ) -> DataFrame:
     """pages(url, html, text, ...) -> MENTIONS-schema rows.
 
     Reference parity: F2 (drop records with no mentions,
     lib/shadowcat_serialize_viaf_agents.js:162) falls out naturally —
     pages yielding zero spans produce zero rows from the explode.
+
+    `include_subjects=True` folds the P4 subject promotion into the SAME
+    single page scan (equivalent to unioning promote_subject_mentions,
+    minus one full corpus scan).
     """
     html_s = F.col("html").cast("string")
 
-    # ONE pass over each page: the three span kinds are gathered into a
-    # single struct array and exploded once. (A union of three per-kind
-    # branches re-executes the whole upstream page plan per branch —
-    # 3x the scan at 100 TB.)
-    def _span(name: F.Column, viaf: F.Column, lc: F.Column) -> F.Column:
+    # ONE pass over each page: every span kind is gathered into a single
+    # struct array and exploded once. (A union of per-kind branches
+    # re-executes the whole upstream page plan per branch — k x the scan
+    # at 100 TB.)
+    def _span(name, viaf, lc, src: str, prio: int) -> F.Column:
         return F.struct(
-            name.alias("name_raw"), viaf.alias("viaf_hint"), lc.alias("lc_hint")
+            name.alias("name_raw"), viaf.alias("viaf_hint"), lc.alias("lc_hint"),
+            F.lit(src).alias("source"),
+            F.lit(prio).cast("int").alias("source_priority"),
         )
 
     null_s = F.lit(None).cast("string")
@@ -72,7 +83,9 @@ def detect_mentions(
             F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(2)).alias("name"),
             F.regexp_extract_all(html_s, F.lit(MARKUP_VIAF_RE), F.lit(1)).alias("viaf"),
         ),
-        lambda m: _span(m["name"], F.nullif(m["viaf"], F.lit("")), null_s),
+        lambda m: _span(
+            m["name"], F.nullif(m["viaf"], F.lit("")), null_s, source, source_priority
+        ),
     )
     # P3 — LCNAF URI -> id, the reference's `split('/names/')[1]`
     # (/root/reference/lib/utils_mms.js:67-70). Non-LC URIs yield NULL.
@@ -85,16 +98,25 @@ def detect_mentions(
             m["name"],
             null_s,
             F.nullif(F.regexp_extract(m["uri"], LCNAF_URI_ID_RE, 1), F.lit("")),
+            source, source_priority,
         ),
     )
     plain = F.transform(
         F.regexp_extract_all(html_s, F.lit(MARKUP_PLAIN_RE), F.lit(1)),
-        lambda s: _span(s, null_s, null_s),
+        lambda s: _span(s, null_s, null_s, source, source_priority),
     )
+    kinds = [hinted, lc_hinted, plain]
+    if include_subjects:
+        kinds.append(
+            F.transform(
+                F.regexp_extract_all(html_s, F.lit(MARKUP_SUBJECT_NAME_RE), F.lit(1)),
+                lambda s: _span(s, null_s, null_s, subject_source, subject_priority),
+            )
+        )
 
     out = pages.select(
         "url",
-        F.posexplode(F.concat(hinted, lc_hinted, plain)).alias("pos", "m"),
+        F.posexplode(F.concat(*kinds)).alias("pos", "m"),
     )
     return out.select(
         "url",
@@ -106,8 +128,8 @@ def detect_mentions(
         normalize_name_expr(F.col("m.name_raw")).alias("name_norm"),
         F.col("m.viaf_hint").alias("viaf_hint"),
         F.col("m.lc_hint").alias("lc_hint"),
-        F.lit(source).alias("source"),
-        F.lit(source_priority).cast("int").alias("source_priority"),
+        F.col("m.source").alias("source"),
+        F.col("m.source_priority").alias("source_priority"),
     ).where(F.length("name_norm") > 0)
 
 

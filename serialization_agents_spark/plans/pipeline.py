@@ -108,7 +108,8 @@ def run_pipeline(
     pages_x = with_extracted_text(pages)
     pages_x = materialize(pages_x, "extract", "url")
 
-    mentions = detect_mentions(pages_x)
+    # P4 subjects ride the same single page scan as the agent spans
+    mentions = detect_mentions(pages_x, include_subjects=True)
     mentions = materialize(mentions, "mentions", "mention_id")
 
     linked, dead = link_mentions(mentions, authority, redirects, blacklist)
