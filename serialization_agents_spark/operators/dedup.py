@@ -58,18 +58,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature + LSH band keys.
 
-    h_i(doc) = min over shingles of md5(i || ':' || shingle) — the min of a
-    uniform hash per seed, taken lexicographically over the hex digest.
-    Band key b_j = md5 of the concatenated signature slice.
+    h_i(doc) = min over shingles of hash(i, shingle); band key b_j =
+    hash of the concatenated signature slice.
+
+    hash_fn='md5' (default): hex-string hashes, min taken
+    lexicographically — deliberately chosen so DuckDB/Python oracles can
+    reproduce signatures bit-for-bit (the driver correctness gate).
+    hash_fn='xxhash64': 64-bit long hashes, ~4x cheaper per shingle —
+    the production setting at 100 TB, where cross-engine replay is not
+    needed (same s-curve; pair sets differ only by hash family).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     sh = shingles(F.col(text_col)).alias("sh")
 
     def _mh(seed: int):
         # NB: a two-arg lambda to F.transform would receive (element, index)
         # — bind the seed via closure, single-arg lambda only.
+        if hash_fn == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(seed), s)
         prefix = f"{seed}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
@@ -79,16 +90,16 @@ def minhash_signatures(
     ]
     with_sig = df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
     n_bands = n_hashes // band_size
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
-            )
+
+    def _band(b: int) -> F.Column:
+        members = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.lit(b), *members).alias(f"band{b}")
+        return F.md5(
+            F.concat_ws("|", F.lit(str(b)), *[m.cast("string") for m in members])
         ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
+
+    band_cols = [_band(b) for b in range(n_bands)]
     return with_sig.select(F.col(id_col), *[F.col(f"mh{i}") for i in range(n_hashes)], *band_cols)
 
 
@@ -99,6 +110,7 @@ def minhash_candidate_pairs(
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
     max_bucket: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH bucket-join: docs sharing any band key become a candidate pair.
     Shuffle is keyed by band value — never a cross join.
@@ -107,7 +119,7 @@ def minhash_candidate_pairs(
     default). Use minhash_candidate_pairs_capped at scale — it also
     returns the dropped-bucket accounting."""
     pairs, _dropped = minhash_candidate_pairs_capped(
-        df, text_col, id_col, n_hashes, band_size, max_bucket
+        df, text_col, id_col, n_hashes, band_size, max_bucket, hash_fn
     )
     return pairs
 
@@ -119,6 +131,7 @@ def minhash_candidate_pairs_capped(
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
     max_bucket: int | None = 256,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs with a degenerate-bucket cap.
 
@@ -132,7 +145,7 @@ def minhash_candidate_pairs_capped(
     Returns (pairs, dropped_buckets(band, bucket_size)) — route the
     second into the S15 error/audit side table.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, band_size)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, band_size, hash_fn)
     n_bands = n_hashes // band_size
     bands = sigs.select(
         F.col(id_col),

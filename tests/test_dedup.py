@@ -25,6 +25,27 @@ def test_lsh_bucket_cap_prevents_quadratic_blowup(spark):
     assert time.time() - t0 < 120
 
 
+def test_xxhash64_minhash_finds_same_near_dups(spark):
+    """The production xxhash64 hash family must recover the known
+    near-duplicate pairs the md5 (oracle-parity) family finds — same
+    s-curve, different hash family."""
+    docs = _docs(spark)
+    md5_pairs = {tuple(r) for r in D.minhash_candidate_pairs(docs).collect()}
+    xx_pairs = {
+        tuple(r)
+        for r in D.minhash_candidate_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    # the planted near-dup pairs (Jaccard >= ~0.7 by construction)
+    truth = {p for p in md5_pairs}
+    strong = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs).collect()
+        if r["jaccard"] >= 0.7
+    }
+    assert strong <= xx_pairs  # every strong near-dup recovered
+    assert strong <= truth
+
+
 def test_lsh_cap_keeps_normal_buckets(spark):
     """Distinct-text docs keep their candidate pairs under the cap."""
     docs = spark.range(40).select(
