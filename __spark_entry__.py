@@ -1092,9 +1092,11 @@ d AS (
   FROM t
 ),
 cd AS (
+  -- X7 parseInt semantics: integer inputs never parse-fail, so the
+  -- present-but-falsy start the JS +100 check coerces to 0 is exactly
+  -- rs itself; a source-NULL rs makes the check NULL (JS NaN) -> kept.
   SELECT *, CASE WHEN rs = 0 THEN NULL ELSE rs END AS s,
-    CASE WHEN re = 0 OR coalesce(CASE WHEN rs = 0 THEN NULL ELSE rs END, 0) + 100 = re
-         THEN NULL ELSE re END AS e
+    CASE WHEN re = 0 OR rs + 100 = re THEN NULL ELSE re END AS e
   FROM d
 ),
 cn AS (

@@ -19,9 +19,13 @@ package (monkey-patches a `string_score`-style fuzzy scorer onto String):
 Determinism note: `normalize_name_py` is the canonical byte-stable
 definition (pure `unicodedata` NFD fold + a small explicit table for
 non-decomposable letters, no locale dependence); the Spark expression's
-translate table is GENERATED from the same fold, and DuckDB's
-strip_accents matches NFD semantics — all three engines agree by
-construction (property-swept over Basic Latin..Latin Extended-B).
+translate table is GENERATED from the same fold, so Spark and Python
+agree by construction over Basic Latin..Latin Extended-B, bare combining
+marks, and Latin Extended Additional (property-swept in
+tests/test_normalize.py). DuckDB's strip_accents matches NFD semantics
+over that range too, with ONE known exception: U+034F (combining
+grapheme joiner, combining class 0) is stripped by DuckDB but folds to
+whitespace here — scope NORMALIZE_SQL accordingly.
 """
 
 from __future__ import annotations
@@ -48,11 +52,14 @@ _EXTRA_MAP = str.maketrans(_EXTRA_SRC, _EXTRA_DST)
 
 def _gen_fold_table() -> tuple[str, str]:
     """Generate the JVM translate() table from the canonical NFD fold:
-    every Latin-1 Supplement .. Latin Extended-B lowercase char whose
-    NFD decomposition strips to a single ASCII letter, plus the
-    non-decomposable extras above. Deterministic (pure unicodedata) —
-    the JVM path and normalize_name_py agree by CONSTRUCTION, asserted
-    over the whole Basic Latin..Extended-B range by tests/test_normalize.
+    every Latin-1 Supplement .. Latin Extended Additional (U+00A0..U+1EFF)
+    lowercase char whose NFD decomposition strips to a single ASCII
+    letter, plus the non-decomposable extras above, plus bare combining
+    marks (deleted — translate drops src chars with no dst counterpart),
+    so pre-decomposed input ('Nguye'+U+0303+'n') folds identically to
+    composed input. Deterministic (pure unicodedata) — the JVM path and
+    normalize_name_py agree by CONSTRUCTION, asserted over the whole
+    Basic Latin..Latin Extended Additional range by tests/test_normalize.
 
     NFD (canonical-only), NOT NFKD: compatibility decompositions are
     one-to-many (¼ -> '1⁄4', ª -> 'a'), which a 1:1 translate cannot
@@ -62,9 +69,11 @@ def _gen_fold_table() -> tuple[str, str]:
     # Both cases enter the table and translate runs BEFORE lower(): JVM
     # lower() expands 'İ' to 'i' + combining dot, which a post-lower
     # table can never fold back. The fold composes NFD + _EXTRA_MAP so
-    # accented non-decomposables (ǿ -> ø -> o) land too.
+    # accented non-decomposables (ǿ -> ø -> o) land too. The scan skips
+    # the non-Latin blocks between Extended-B and Extended Additional
+    # (their chars never NFD-fold to ASCII, so they'd be no-ops anyway).
     src, dst = [], []
-    for cp in range(0xA0, 0x250):
+    for cp in [*range(0xA0, 0x250), *range(0x1E00, 0x1F00)]:
         ch = chr(cp)
         folded = "".join(
             c for c in unicodedata.normalize("NFD", ch) if not unicodedata.combining(c)
@@ -73,6 +82,13 @@ def _gen_fold_table() -> tuple[str, str]:
         if len(folded) == 1 and folded.isascii() and folded.isalnum():
             src.append(ch)
             dst.append(folded)
+    # Combining Diacritical Marks (U+0300..U+036F): delete outright, the
+    # same thing the canonical Python fold does to a bare combining mark.
+    # Criterion is combining()!=0, same as the Python fold — U+034F
+    # (COMBINING GRAPHEME JOINER) is class 0 and folds to space in both.
+    src.extend(
+        chr(cp) for cp in range(0x300, 0x370) if unicodedata.combining(chr(cp))
+    )
     return "".join(src), "".join(dst)
 
 
@@ -102,10 +118,11 @@ def normalize_name_udf(s: pd.Series) -> pd.Series:
 
 def normalize_name_expr(col: Column) -> Column:
     """JVM-side fast path (whole-stage codegen), byte-identical to
-    normalize_name_py over the full Latin-1..Latin-Extended-B range: the
-    translate table is GENERATED from the same NFKD fold (see
-    _gen_fold_table), so the two impls cannot drift. Chars outside the
-    table fold to whitespace in both (same as punctuation).
+    normalize_name_py over the full Latin-1..Latin Extended Additional
+    range (and for bare combining marks): the translate table is
+    GENERATED from the same NFD fold (see _gen_fold_table), so the two
+    impls cannot drift. Chars outside the table fold to whitespace in
+    both (same as punctuation).
 
     Keep this in the hot path: ~10-50x cheaper than the pandas UDF.
     """
@@ -114,8 +131,9 @@ def normalize_name_expr(col: Column) -> Column:
 
 
 # DuckDB-equivalent SQL fragment (for oracle_sql parity checks): DuckDB's
-# strip_accents is NFKD-equivalent for the decomposable range; the extras
-# need the same explicit translate.
+# strip_accents is NFD-equivalent for the decomposable range (swept in
+# this module's tests; sole divergence U+034F, see module docstring); the
+# extras need the same explicit translate.
 NORMALIZE_SQL = (
     "trim(regexp_replace(translate(lower(strip_accents({col})), "
     f"'{_EXTRA_SRC}', '{_EXTRA_DST}'), '[^a-z0-9]+', ' ', 'g'))"

@@ -51,9 +51,10 @@ def build_merge_edges(agents: DataFrame) -> DataFrame:
     return name_edges.unionByName(viaf_edges).dropDuplicates()
 
 
-# Below this active-entity count the per-iteration label maps are
-# broadcast (hash-to-min with zero join shuffles); above it the loop
-# falls back to repartitioned hash joins at the same derived width.
+# Below this active-entity count (the size of the label map actually
+# shipped per iteration) the per-iteration label maps are broadcast
+# (hash-to-min with zero join shuffles); above it the loop falls back to
+# repartitioned hash joins at the same derived width.
 BROADCAST_LABELS_MAX = 1_000_000
 
 
@@ -107,8 +108,12 @@ def connected_components(
     labels = e.select("entity_key").dropDuplicates().select(
         "entity_key", F.col("entity_key").alias("label")
     )
+    # Broadcast gate is the DISTINCT ENTITY count (= label-map rows, the
+    # thing actually broadcast), not the edge count — an entity averages
+    # >1 edge, so gating on edges disabled the fast path too early.
+    n_entities = labels.count()
     labels, iters = _cc_loop(
-        e, labels, cc_parts, n_active <= BROADCAST_LABELS_MAX, max_iterations
+        e, labels, cc_parts, n_entities <= BROADCAST_LABELS_MAX, max_iterations
     )
 
     active_labels = labels.select("entity_key", F.col("label").alias("component"))

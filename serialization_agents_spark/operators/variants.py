@@ -4,10 +4,12 @@ SURVEY.md §2.3/§2.6) as an explode + blocking join + first-hit pick.
 Reference semantics reproduced (citations into /root/reference):
 
 - **X7 date cleanup** (lib/tms_serialize_objects_agents.js:167-172):
-  non-numeric dates dropped; `dateStart === 0` -> null; `dateEnd === 0`
-  or `dateStart + 100 === dateEnd` -> null. The reference's `+ 100`
-  check runs AFTER the 0->false coercion, so a null start coerces to 0
-  (JS `false + 100 === 100`) — reproduced with coalesce(start, 0).
+  parseInt prefix parse ('1950ca' -> 1950); fully non-numeric dropped;
+  `dateStart === 0` -> null; `dateEnd === 0` or
+  `dateStart + 100 === dateEnd` -> null. The reference's `+ 100` check
+  runs AFTER the 0->false coercion, so a PRESENT start that parsed to
+  0/NaN coerces to 0 (JS `false + 100 === 100`), while an absent start
+  is `undefined` (NaN + 100 never equals end) — see clean_agent_dates.
 - **X8 checkNames generation** (:174-190): ordered candidate variants
   `'{nameAlpha}, {start}-{end}'`, `'{nameAlpha}, {start}-'`,
   `nameAlpha`, `nameDisplay` — each trimmed, skipped when empty,
@@ -43,17 +45,37 @@ _AUTH_COLS = [
 def clean_agent_dates(
     df: DataFrame, start_col: str = "date_start", end_col: str = "date_end"
 ) -> DataFrame:
-    """X7 — lib/tms_serialize_objects_agents.js:167-172."""
-    s_raw = F.col(start_col).try_cast("long")
-    e_raw = F.col(end_col).try_cast("long")
+    """X7 — lib/tms_serialize_objects_agents.js:167-172.
+
+    parseInt semantics: a numeric PREFIX parses ('1950ca' -> 1950,
+    ' +1950' -> 1950); only a fully non-numeric or absent value fails.
+    The JS `start + 100 === end` check runs after the falsy coercion, so
+    a PRESENT-but-falsy start (parse failure or literal 0) coerces to 0
+    (`false + 100 === 100` drops end=100), while a source-NULL start is
+    `undefined` — `undefined + 100` is NaN, which never equals end.
+    """
+    _lead_int = r"^\s*([+-]?[0-9]+)"
+    s_raw = F.regexp_extract(F.col(start_col).cast("string"), _lead_int, 1).try_cast(
+        "long"
+    )
+    e_raw = F.regexp_extract(F.col(end_col).cast("string"), _lead_int, 1).try_cast(
+        "long"
+    )
     s = F.when(s_raw == 0, F.lit(None).cast("long")).otherwise(s_raw)
-    # JS quirk kept: a nulled start coerces to 0 in the `start+100 == end`
-    # test, so (start=0, end=100) drops the end too.
+    # start value the JS +100 check sees: 0 for present-but-falsy starts,
+    # NULL (-> never-equal) for source-NULL starts.
+    s_for_check = F.when(F.col(start_col).isNotNull(), F.coalesce(s_raw, F.lit(0)))
     e = F.when(
-        (e_raw == 0) | (F.coalesce(s, F.lit(0)) + 100 == e_raw),
+        (e_raw == 0) | (s_for_check + 100 == e_raw),
         F.lit(None).cast("long"),
     ).otherwise(e_raw)
-    return df.withColumn(start_col, s).withColumn(end_col, e)
+    # single projection: BOTH outputs read the RAW columns (a chained
+    # withColumn would resolve the end-check's start reference against
+    # the already-cleaned start, losing the falsy-coercion quirk).
+    others = [c for c in df.columns if c not in (start_col, end_col)]
+    return df.select(*others, s.alias(start_col), e.alias(end_col)).select(
+        *df.columns
+    )
 
 
 def build_check_names(

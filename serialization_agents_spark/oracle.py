@@ -26,7 +26,12 @@ from serialization_agents_spark.functions.normalize import (
 from serialization_agents_spark.operators.extract import extract_text_py
 
 MARKUP_VIAF_RE = re.compile(r'<span class="agent" data-viaf="([^"]*)">([^<]+)</span>')
+MARKUP_LCNAF_RE = re.compile(r'<span class="agent" data-lcnaf="([^"]*)">([^<]+)</span>')
 MARKUP_PLAIN_RE = re.compile(r'<span class="agent">([^<]+)</span>')
+MARKUP_SUBJECT_NAME_RE = re.compile(
+    r'<span class="subject" data-type="name">([^<]+)</span>'
+)
+LCNAF_URI_ID_RE = re.compile(r'/names/([^/"]+)$')
 
 
 def no_viaf_key(name_norm: str) -> str:
@@ -59,34 +64,59 @@ def run_oracle(
 ):
     """Returns (canonical_agents: list[dict], triples: set[tuple])."""
     blacklist = set(blacklist_names)
+    # redirect routing mirrors operators/linking.py:resolve_redirects —
+    # a redirect target resolves the viaf hint; a deleted id with a
+    # mads:useInstead LC authority routes into the LCNAF (J2) lookup;
+    # a dead id drops the hint (mention falls through to the name pass).
     redirects = {
-        r["old_id"]: (r["new_id"] or r["use_instead_lc"]) for r in redirect_rows
+        r["old_id"]: (r["new_id"], r["use_instead_lc"]) for r in redirect_rows
     }
     by_viaf = {}
+    by_lc = {}
     by_name = defaultdict(list)
     for a in authority_rows:
         for vid in a["viaf_all"] or []:
             by_viaf.setdefault(vid, a)
+        if a["lc_id"]:
+            by_lc.setdefault(a["lc_id"], a)
         for n in a["normalized"] or []:
             by_name[n].append(a)
 
     # ---- extract + detect + link ---------------------------------------
-    linked = []  # (url, name_raw, name_norm, entity_key, auth_or_None)
+    linked = []  # dict(url, name_raw, name_norm, entity_key, auth, prio)
     for p in pages_rows:
         if lang_filter is not None and p["lang"] != lang_filter:
             continue
         html = p["html"]
         html_s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else (html or "")
-        mentions = [(v or None, n) for v, n in MARKUP_VIAF_RE.findall(html_s)]
-        mentions += [(None, n) for n in MARKUP_PLAIN_RE.findall(html_s)]
-        for viaf_hint, name_raw in mentions:
+        # (viaf_hint, lc_hint, name, source_priority); P3 LCNAF spans
+        # carry the id.loc URI's trailing id, P4 name-typed subjects are
+        # promoted at priority 2 (topic-typed ones never match this re).
+        mentions = [
+            (v or None, None, n, 1) for v, n in MARKUP_VIAF_RE.findall(html_s)
+        ]
+        for uri, n in MARKUP_LCNAF_RE.findall(html_s):
+            m = LCNAF_URI_ID_RE.search(uri)
+            mentions.append((None, m.group(1) if m else None, n, 1))
+        mentions += [(None, None, n, 1) for n in MARKUP_PLAIN_RE.findall(html_s)]
+        mentions += [
+            (None, None, n, 2) for n in MARKUP_SUBJECT_NAME_RE.findall(html_s)
+        ]
+        for viaf_hint, lc_hint, name_raw, prio in mentions:
             if name_raw in blacklist:
                 continue
             name_norm = normalize_name_py(name_raw)
             if not name_norm:
                 continue
-            resolved = redirects.get(viaf_hint, viaf_hint) if viaf_hint else None
+            resolved = viaf_hint
+            if viaf_hint and viaf_hint in redirects:
+                new_id, use_instead_lc = redirects[viaf_hint]
+                resolved = new_id
+                if new_id is None and use_instead_lc:
+                    lc_hint = lc_hint or use_instead_lc
             auth = by_viaf.get(resolved) if resolved else None
+            if auth is None and lc_hint:
+                auth = by_lc.get(lc_hint)  # J2 — only when J1 missed
             if auth is None:
                 # name-block + fuzzy top-1 (tie: lowest viaf_id)
                 cands = by_name.get(name_norm, [])
@@ -104,7 +134,7 @@ def run_oracle(
             linked.append(
                 dict(
                     url=p["url"], name_raw=name_raw, name_norm=name_norm,
-                    entity_key=entity_key, auth=auth,
+                    entity_key=entity_key, auth=auth, prio=prio,
                 )
             )
 
@@ -127,9 +157,10 @@ def run_oracle(
             m["entity_key"],
             dict(
                 entity_key=m["entity_key"], name_prefs=[], auth=None,
-                name_norms=set(), alt_names=set(), urls=set(),
+                name_norms=set(), alt_names=set(), urls=set(), prio=m["prio"],
             ),
         )
+        e["prio"] = min(e["prio"], m["prio"])
         a = m["auth"]
         if a is not None:
             e["auth"] = a
@@ -166,7 +197,7 @@ def run_oracle(
                 type=typ,
                 alt_names=set(e["alt_names"]),
                 urls=set(e["urls"]),
-                source_priority=1,
+                source_priority=e["prio"],
             )
         )
 

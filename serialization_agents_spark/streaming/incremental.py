@@ -201,10 +201,16 @@ def stream_pages_to_agents(
     redirects: DataFrame | None = None,
     blacklist: DataFrame | None = None,
     trigger_available_now: bool = True,
+    include_subjects: bool = True,
 ):
     """readStream(new page parquet files) -> link -> merge -> fold into
     the persisted bucket-partitioned agents table (fold_batch_into_agents
-    carries the per-batch exactly-once + partial-rewrite semantics)."""
+    carries the per-batch exactly-once + partial-rewrite semantics).
+
+    `include_subjects` defaults True to MATCH the batch pipeline
+    (plans/pipeline.py runs detect_mentions(include_subjects=True)) —
+    the batch(all) == fold(batches) contract requires both paths to scan
+    the same span kinds."""
     stream = (
         spark.readStream.schema(schemas.PAGES)
         .option("maxFilesPerTrigger", 16)
@@ -215,7 +221,7 @@ def stream_pages_to_agents(
         if batch_pages.isEmpty():
             return
         px = with_extracted_text(batch_pages)
-        mentions = detect_mentions(px)
+        mentions = detect_mentions(px, include_subjects=include_subjects)
         linked, _dead = link_mentions(mentions, authority, redirects, blacklist)
         fold_batch_into_agents(spark, agents_dir, merge_entities(linked), batch_id)
 

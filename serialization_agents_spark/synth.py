@@ -192,19 +192,35 @@ def _h(col_id: Column, tag: str, mod: int) -> Column:
     return F.pmod(F.xxhash64(col_id, F.lit(tag), F.lit(SEED)), F.lit(mod))
 
 
-def _mention_html(name: Column, viaf: Column, hinted: Column) -> Column:
-    """Render one mention sentence. Markup-hinted mentions carry a
-    data-viaf attribute (the analogue of the reference's VIAF-backed
-    `sc:agents` entries); plain ones must be linked by name (the
-    non-VIAF pass)."""
-    return F.when(
-        hinted,
-        F.format_string(
-            '<p>Work by <span class="agent" data-viaf="%s">%s</span> reviewed.</p>',
-            viaf, name,
-        ),
-    ).otherwise(
-        F.format_string('<p>Work by <span class="agent">%s</span> reviewed.</p>', name)
+def _mention_html(name: Column, viaf: Column, lc: Column, mode: Column) -> Column:
+    """Render one mention sentence. mode 1 carries a data-viaf attribute
+    (the analogue of the reference's VIAF-backed `sc:agents` entries);
+    mode 2 carries a data-lcnaf URI (the P3 path, analogue of the MMS
+    valueURI records, /root/reference/lib/utils_mms.js:67-70) when the
+    authority has an LC id; everything else is a plain span that must be
+    linked by name (the non-VIAF pass)."""
+    return (
+        F.when(
+            mode == 1,
+            F.format_string(
+                '<p>Work by <span class="agent" data-viaf="%s">%s</span> reviewed.</p>',
+                viaf, name,
+            ),
+        )
+        .when(
+            (mode == 2) & lc.isNotNull(),
+            F.format_string(
+                '<p>Work by <span class="agent" '
+                'data-lcnaf="http://id.loc.gov/authorities/names/%s">%s</span>'
+                " reviewed.</p>",
+                lc, name,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                '<p>Work by <span class="agent">%s</span> reviewed.</p>', name
+            )
+        )
     )
 
 
@@ -220,13 +236,18 @@ def synth_pages(
     partitions: int | None = None,
     html_kb: int = 2,
 ) -> DataFrame:
-    """Distributed page generator. Each page gets 1-4 agent mentions:
+    """Distributed page generator. Each page gets 1-5 agent mentions:
 
     - slot C: the celebrity (authority[0]) in ~10% of pages (skew);
     - slot 1: always, quadratically-skewed authority pick;
     - slot 2: 60% of pages, independent skewed pick;
     - slot N: 25% of pages, a noise name absent from the authority
-      (exercises the noViaf surrogate-key path).
+      (exercises the noViaf surrogate-key path);
+    - slot S: 20% of pages, a name-typed subject block (P4 promotion,
+      priority 2) + 10% a topic-typed block that must be ignored.
+
+    Slots 1/2 mix hint kinds: 60% data-viaf, 15% data-lcnaf URIs (P3 —
+    plain when the pick has no LC id), rest plain name-linked spans.
 
     `text` is pre-extracted for ~70% of rows and NULL otherwise (forcing
     the extraction path); `lang` is 85% 'en' with de/fr/es tails.
@@ -240,8 +261,8 @@ def synth_pages(
     """
     auth = authority_records(n_auth)
     dim = spark.createDataFrame(
-        [(i, r["_display"], r["viaf_id"]) for i, r in enumerate(auth)],
-        "idx int, dim_name string, dim_viaf string",
+        [(i, r["_display"], r["viaf_id"], r["lc_id"]) for i, r in enumerate(auth)],
+        "idx int, dim_name string, dim_viaf string, dim_lc string",
     )
 
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
@@ -252,44 +273,77 @@ def synth_pages(
         u = _h(cid, tag, 1_000_000) / F.lit(1_000_000.0)
         return (u * u * F.lit(n_auth)).cast("int")
 
+    def dim_as(slot_n: int) -> DataFrame:
+        return dim.select(
+            F.col("idx").alias(f"idx{slot_n}"),
+            F.col("dim_name").alias(f"name{slot_n}"),
+            F.col("dim_viaf").alias(f"viaf{slot_n}"),
+            F.col("dim_lc").alias(f"lc{slot_n}"),
+        )
+
     df = (
         df.withColumn("idx1", pick("m1"))
         .withColumn("idx2", pick("m2"))
-        .join(
-            F.broadcast(dim.select(F.col("idx").alias("idx1"),
-                                   F.col("dim_name").alias("name1"),
-                                   F.col("dim_viaf").alias("viaf1"))),
-            "idx1",
-        )
-        .join(
-            F.broadcast(dim.select(F.col("idx").alias("idx2"),
-                                   F.col("dim_name").alias("name2"),
-                                   F.col("dim_viaf").alias("viaf2"))),
-            "idx2",
-        )
+        .withColumn("idx3", pick("m3"))
+        .join(F.broadcast(dim_as(1)), "idx1")
+        .join(F.broadcast(dim_as(2)), "idx2")
+        .join(F.broadcast(dim_as(3)), "idx3")
     )
 
-    def slot(tag: str, present: Column, name: Column, viaf: Column):
-        hinted = _h(cid, tag + "_hint", 100) < 60
-        html = F.when(present, _mention_html(name, viaf, hinted))
+    def slot(tag: str, present: Column, name: Column, viaf: Column, lc: Column):
+        # mention mode: 60% viaf-hinted, 15% lcnaf-annotated (P3; plain
+        # when the pick has no LC id), 25% plain name-linked spans.
+        draw = _h(cid, tag + "_hint", 100)
+        mode = F.when(draw < 60, 1).when(draw < 75, 2).otherwise(0)
+        html = F.when(present, _mention_html(name, viaf, lc, mode))
         text = F.when(present, _mention_text(name))
         return html, text
 
     celeb_present = _h(cid, "celeb", 100) < 10
     celeb_name = F.lit(auth[0]["_display"])
     celeb_viaf = F.lit(auth[0]["viaf_id"])
-    celeb_hinted = _h(cid, "celeb_hint", 100) < 60
-    c_html = F.when(celeb_present, _mention_html(celeb_name, celeb_viaf, celeb_hinted))
+    celeb_hinted = F.when(_h(cid, "celeb_hint", 100) < 60, 1).otherwise(0)
+    c_html = F.when(
+        celeb_present,
+        _mention_html(celeb_name, celeb_viaf, F.lit(None).cast("string"), celeb_hinted),
+    )
     c_text = F.when(celeb_present, _mention_text(celeb_name))
 
-    s1_html, s1_text = slot("m1", F.lit(True), F.col("name1"), F.col("viaf1"))
+    s1_html, s1_text = slot("m1", F.lit(True), F.col("name1"), F.col("viaf1"), F.col("lc1"))
     s2_present = _h(cid, "p2", 100) < 60
-    s2_html, s2_text = slot("m2", s2_present, F.col("name2"), F.col("viaf2"))
+    s2_html, s2_text = slot("m2", s2_present, F.col("name2"), F.col("viaf2"), F.col("lc2"))
 
     noise_present = _h(cid, "pn", 100) < 25
     noise_name = F.format_string("Unlisted Person %d", _h(cid, "noise", n_noise))
-    n_html = F.when(noise_present, _mention_html(noise_name, F.lit(""), F.lit(False)))
+    n_html = F.when(
+        noise_present,
+        _mention_html(noise_name, F.lit(""), F.lit(None).cast("string"), F.lit(0)),
+    )
     n_text = F.when(noise_present, _mention_text(noise_name))
+
+    # P4 coverage: 20% of pages carry a name-typed subject block (promoted
+    # into the agents stream at priority 2) and 10% a topic-typed one
+    # (which must stay OUT of the graph).
+    subj_present = _h(cid, "subj", 100) < 20
+    subj_html = F.when(
+        subj_present,
+        F.format_string(
+            '<p>Subjects: <span class="subject" data-type="name">%s</span></p>',
+            F.col("name3"),
+        ),
+    )
+    subj_text = F.when(subj_present, F.format_string("Subjects: %s", F.col("name3")))
+    topic_present = _h(cid, "topic", 100) < 10
+    topic_html = F.when(
+        topic_present,
+        F.format_string(
+            '<p>Theme: <span class="subject" data-type="topic">Topic T%d</span></p>',
+            _h(cid, "topicn", 20),
+        ),
+    )
+    topic_text = F.when(
+        topic_present, F.format_string("Theme: Topic T%d", _h(cid, "topicn", 20))
+    )
 
     filler = F.format_string("Page %d of the example archive.", cid)
     # Realistic page weight (real crawl pages are tens of KB): padding
@@ -298,9 +352,11 @@ def synth_pages(
     pad_unit = "lorem ipsum dolor sit amet consetetur sadipscing elitr sed diam nonumy "
     n_units = max(1, (html_kb * 1024) // len(pad_unit))
     padding = F.rtrim(F.repeat(F.lit(pad_unit), n_units))
-    body_text = F.concat_ws(" ", c_text, s1_text, s2_text, n_text, filler, padding)
+    body_text = F.concat_ws(
+        " ", c_text, s1_text, s2_text, n_text, subj_text, topic_text, filler, padding
+    )
     body_html = F.concat_ws(
-        "", c_html, s1_html, s2_html, n_html,
+        "", c_html, s1_html, s2_html, n_html, subj_html, topic_html,
         F.format_string("<p>%s</p>", filler),
         F.concat(F.lit("<p>"), padding, F.lit("</p>")),
     )

@@ -48,10 +48,13 @@ def test_normalize_handles_null_and_empty():
 
 
 def test_normalize_expr_matches_py_full_latin_range(spark):
-    """Property: the JVM translate path and the canonical NFKD impl agree
-    for EVERY char in Basic Latin .. Latin Extended-B, embedded in a name
-    (catches both table gaps like ő and non-decomposables like ø/ł/đ)."""
-    rows = [(f"Na{chr(cp)}me, Test", cp) for cp in range(0x20, 0x250)]
+    """Property: the JVM translate path and the canonical NFD impl agree
+    for EVERY char in Basic Latin .. Latin Extended-B, the bare combining
+    marks, and Latin Extended Additional (e.g. 'Nguyễn'), embedded in a
+    name (catches table gaps like ő/ễ, non-decomposables like ø/ł/đ, and
+    pre-decomposed input)."""
+    sweep = [*range(0x20, 0x250), *range(0x300, 0x370), *range(0x1E00, 0x1F00)]
+    rows = [(f"Na{chr(cp)}me, Test", cp) for cp in sweep]
     df = spark.createDataFrame(rows, "raw string, cp int").select(
         "raw", "cp", normalize_name_expr(F.col("raw")).alias("norm")
     )
@@ -61,6 +64,26 @@ def test_normalize_expr_matches_py_full_latin_range(spark):
         if r["norm"] != normalize_name_py(r["raw"])
     ]
     assert not bad, bad[:10]
+
+
+def test_normalize_duckdb_sql_matches_py_sweep():
+    """NORMALIZE_SQL (the DuckDB fragment) agrees with the canonical fold
+    over the same sweep, except the single documented U+034F divergence
+    (combining grapheme joiner: class 0, stripped by strip_accents)."""
+    import duckdb
+
+    from serialization_agents_spark.functions.normalize import NORMALIZE_SQL
+
+    con = duckdb.connect()
+    sql = NORMALIZE_SQL.format(col="?")
+    sweep = [*range(0x20, 0x250), *range(0x300, 0x370), *range(0x1E00, 0x1F00)]
+    bad = []
+    for cp in sweep:
+        s = f"Na{chr(cp)}me, Test"
+        got = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
+        if got != normalize_name_py(s):
+            bad.append(hex(cp))
+    assert bad == ["0x34f"], bad[:10]
 
 
 def test_normalize_non_decomposable_folds():

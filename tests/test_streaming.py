@@ -19,8 +19,12 @@ from serialization_agents_spark.streaming.incremental import (
 
 
 def _agents_for(spark, pages, authority):
+    # include_subjects=True matches BOTH the batch pipeline and the
+    # streaming default — the two paths must scan the same span kinds.
     px = with_extracted_text(pages)
-    linked, _ = link_mentions(detect_mentions(px), authority)
+    linked, _ = link_mentions(
+        detect_mentions(px, include_subjects=True), authority
+    )
     return merge_entities(linked)
 
 

@@ -115,6 +115,9 @@ def test_date_cleanup_rules(spark):
             (3, "C", "C d", "0", "100"),      # JS quirk: null start coerces to 0
             (4, "D", "D d", "c. 1800", "1900"),  # non-numeric start -> null
             (5, "E", "E d", "1800", "1850"),  # both kept
+            (6, "F", "F d", "1950ca", "2050"),   # parseInt prefix: 1950; +100 -> end nulled
+            (7, "G", "G d", None, "100"),        # source-NULL start: NaN+100 keeps end
+            (8, "H", "H d", " +1850", "1900"),   # parseInt sign/whitespace
         ],
         _AGENT_SCHEMA,
     )
@@ -127,6 +130,9 @@ def test_date_cleanup_rules(spark):
     assert rows[3] == (None, None)
     assert rows[4] == (None, 1900)
     assert rows[5] == (1800, 1850)
+    assert rows[6] == (1950, None)
+    assert rows[7] == (None, 100)
+    assert rows[8] == (1850, 1900)
 
 
 def test_first_hit_wins_priority(spark):
