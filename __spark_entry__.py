@@ -303,6 +303,97 @@ entities AS (
 """
 
 
+# DuckDB reproduction of operators/multimodal.py's synthetic media table
+# and fake decoders: content is the utf-8 bytes of sha256('media'||id)'s
+# hex string, and every decoder output is md5-digest arithmetic over it
+# (multimodal._fake_decode / _fake_audio_decode) — so each column is a
+# closed-form SQL expression, exactly like the kg oracle reproduces the
+# page generator.
+_MEDIA_SQL = """
+WITH kinds AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 'audio'
+              WHEN media_id % 7 = 1 THEN 'video'
+              ELSE 'image' END AS kind
+  FROM (SELECT unnest(range(200)) AS media_id)
+)
+"""
+
+
+def _ann_lsh_sql(n_probes: int = 0, n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
+    """DuckDB transcription of operators/similarity.py:lsh_bucket_topk —
+    the hyperplane LCG (`_hyperplane`) as a recursive CTE (the same way
+    `_string_score_sql` transcribes the fuzzy walk), sign-bit bucket
+    signatures, the multi-probe lowest-|margin| bit flips, and the
+    in-bucket cosine re-rank. Sign/ordering parity holds because dots
+    are O(1) while engine summation-order differences are O(1e-16)
+    (documented in similarity._bucket_kernel).
+    """
+    probes_sql = ""
+    qbuckets = "SELECT query_id, qv, base_sig AS bucket FROM qsig"
+    if n_probes > 0:
+        probes_sql = f""",
+flips AS (
+  SELECT query_id, p,
+         row_number() OVER (PARTITION BY query_id ORDER BY abs(d), p) AS rk
+  FROM qd
+),
+probes AS (
+  SELECT f.query_id, s.qv,
+         substr(s.base_sig, 1, f.p)
+           || (CASE WHEN substr(s.base_sig, f.p + 1, 1) = '1' THEN '0' ELSE '1' END)
+           || substr(s.base_sig, f.p + 2, {n_planes}) AS bucket
+  FROM flips f JOIN qsig s USING (query_id) WHERE f.rk <= {n_probes}
+)"""
+        qbuckets += "\n    UNION ALL SELECT query_id, qv, bucket FROM probes"
+    cos = (
+        "round(list_dot_product(b.qv, s.cv) / "
+        "(sqrt(list_dot_product(b.qv, b.qv)) * sqrt(list_dot_product(s.cv, s.cv))), 4)"
+    )
+    return f"""
+WITH RECURSIVE lcg AS (
+  -- similarity._hyperplane: x0 = (seed*1000003 + p*7919 + 12345) & 0x7FFFFFFF,
+  -- x <- (x*1103515245 + 12345) & 0x7FFFFFFF, w = x/0x7FFFFFFF*2 - 1
+  SELECT p, 0 AS i,
+         CAST((42 * 1000003 + p * 7919 + 12345) % 2147483648 AS BIGINT) AS x,
+         CAST(NULL AS DOUBLE) AS w
+  FROM (SELECT unnest(range({n_planes})) AS p)
+  UNION ALL
+  SELECT p, i + 1, (x * 1103515245 + 12345) % 2147483648,
+         CAST((x * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483647 * 2.0 - 1.0
+  FROM lcg WHERE i < {dim}
+),
+planes AS (SELECT p, list(w ORDER BY i) AS v FROM lcg WHERE i >= 1 GROUP BY p),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+csig AS (
+  SELECT c.vec_id, c.cv,
+         string_agg(CASE WHEN list_dot_product(c.cv, pl.v) >= 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY pl.p) AS bucket
+  FROM corpus c CROSS JOIN planes pl GROUP BY c.vec_id, c.cv
+),
+qd AS (
+  SELECT q.vec_id AS query_id, q.qv, pl.p, list_dot_product(q.qv, pl.v) AS d
+  FROM qs q CROSS JOIN planes pl
+),
+qsig AS (
+  SELECT query_id, qv,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS base_sig
+  FROM qd GROUP BY query_id, qv
+){probes_sql},
+qbuckets AS (SELECT DISTINCT query_id, qv, bucket FROM ({qbuckets})),
+scored AS (
+  SELECT DISTINCT b.query_id, s.vec_id AS neighbor_id, {cos} AS cosine
+  FROM qbuckets b JOIN csig s ON b.bucket = s.bucket AND s.vec_id <> b.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
 def _string_score_sql() -> str:
     """DuckDB transcription of the string_score char-walk
     (functions/normalize.py:fuzzy_score_py — the public algorithm the
@@ -668,6 +759,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "frame_idx", "ts_ms"
         )
 
+    def multimodal_resize(spark, sf):
+        """Resize kernel under the hash gate: the fake payload is a pure
+        function of (content, target size), so its bytes are certified
+        via md5-over-hex (DuckDB's md5 is VARCHAR-only)."""
+        from serialization_agents_spark.operators.multimodal import (
+            resize_images,
+            synth_media,
+        )
+
+        media = synth_media(spark, n=200)
+        out = resize_images(media, width=64, height=64)
+        return out.select(
+            "media_id", "width", "height",
+            F.md5(F.lower(F.hex("content"))).alias("content_md5"),
+        )
+
     # ---- KG pipeline over derived pages ----------------------------------
     def kg_extract_text(spark, sf):
         from serialization_agents_spark.operators.extract import with_extracted_text
@@ -819,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_resize": multimodal_resize,
         "kg_extract_text": kg_extract_text,
         "kg_mentions": kg_mentions,
         "p4_promoted_mentions": p4_promoted_mentions,
@@ -1003,6 +1111,53 @@ def oracle_sql() -> dict[str, str]:
             + toks
             + ")), ' ')) AS fingerprint FROM documents"
         ),
+        "multimodal_image_features": (
+            _MEDIA_SQL
+            + """
+SELECT media_id,
+       CAST(16 + ('0x' || substr(h, 1, 2))::INT % 240 AS INTEGER) AS width,
+       CAST(16 + ('0x' || substr(h, 3, 2))::INT % 240 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       TRUE AS decode_ok
+FROM (SELECT media_id, md5(sha256('media' || media_id)) AS h
+      FROM kinds WHERE kind = 'image')
+"""
+        ),
+        "multimodal_audio_features": (
+            _MEDIA_SQL
+            + """
+SELECT media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(500 + ('0x' || substr(h, 1, 4))::INT % 60000 AS INTEGER) AS duration_ms,
+       TRUE AS decode_ok
+FROM (SELECT media_id, md5('audio:' || sha256('media' || media_id)) AS h
+      FROM kinds WHERE kind = 'audio')
+"""
+        ),
+        "multimodal_frame_sample": (
+            _MEDIA_SQL
+            + """
+, vids AS (
+  SELECT media_id,
+         least(16, greatest(1,
+           (500 + ('0x' || substr(md5('audio:' || sha256('media' || media_id)), 1, 4))::INT
+            % 60000) // 1000)) AS n
+  FROM kinds WHERE kind = 'video'
+),
+frames AS (SELECT media_id, unnest(range(0, n)) AS i FROM vids)
+SELECT media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 1000 AS INTEGER) AS ts_ms
+FROM frames
+"""
+        ),
+        "multimodal_resize": (
+            _MEDIA_SQL
+            + """
+SELECT media_id,
+       CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+       md5(repeat(md5(sha256('media' || media_id) || '64x64'), 256)) AS content_md5
+FROM kinds WHERE kind = 'image'
+"""
+        ),
         "kg_extract_text": (
             _KG_SQL_BASE
             + "SELECT url, "
@@ -1077,6 +1232,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'link', url, 'dead_viaf', CAST(ck1 + 9000000 AS VARCHAR) "
             "FROM withnames WHERE stale1 AND ck1 % 3 = 2"
         ),
+        "ann_lsh_top3": _ann_lsh_sql(n_probes=0),
+        "ann_lsh_multiprobe_top3": _ann_lsh_sql(n_probes=3),
         "j4_fuzzy_scores": _string_score_sql(),
         "j5_variant_match": """
 WITH t AS (

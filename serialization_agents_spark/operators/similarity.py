@@ -6,6 +6,9 @@
 - ``lsh_bucket_topk``   — the scale path: random-hyperplane LSH buckets
   (sign of dot(v, r_i) for H deterministic pseudo-random planes) so each
   query only scans its bucket. One shuffle keyed by bucket signature.
+  Corpus-side signatures come from an Arrow-batched numpy matmul (one
+  BLAS call per batch); the JVM expression path stays available as the
+  reference implementation (`corpus_arrow=False`).
 
 At 100 TB / billions of vectors the brute force is only for re-ranking
 within buckets; the LSH variant is the default. A real deployment would
@@ -14,6 +17,9 @@ add IVF centroids (k-means) — the bucketing skeleton is identical.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,13 +77,48 @@ def cosine_topk(
 
 def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (no RNG state): components
-    from a hash-like LCG of (seed, plane, i), centered on 0."""
+    from a hash-like LCG of (seed, plane, i), centered on 0. The driver
+    oracle transcribes this exact LCG as a recursive CTE (DuckDB), so
+    buckets are cross-engine reproducible."""
     out = []
     x = (seed * 1_000_003 + plane * 7919 + 12345) & 0x7FFFFFFF
     for _ in range(dim):
         x = (x * 1103515245 + 12345) & 0x7FFFFFFF
         out.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
     return out
+
+
+def _bucket_kernel(planes: list[list[float]], id_out: str, vec_out: str):
+    """mapInPandas kernel computing LSH bucket signatures with ONE numpy
+    matmul per Arrow batch (BLAS dgemm), instead of per-row interpreted
+    F.aggregate HOFs x n_planes x dim — the JVM expression path never
+    enters codegen and dominates at corpus scale. Vector math is the one
+    case where Arrow-batched Python beats interpreted JVM expressions.
+
+    Sign parity note: summation order differs from the sequential fold
+    (BLAS is blocked/SIMD), so a dot within ~1e-15 of 0 could flip
+    engines' sign. Components are O(1) draws, so in practice signs —
+    hence buckets — agree (asserted vs the expression path in
+    tests/test_similarity.py and vs DuckDB by the driver gate).
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # (H, dim)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit = np.array(["0", "1"])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_out]])
+            D = V @ P.T  # (n, H): one BLAS call per batch
+            sigs = ["".join(r) for r in bit[(D >= 0).astype(np.int8)]]
+            yield pd.DataFrame(
+                {id_out: pdf[id_out].values, vec_out: pdf[vec_out].values,
+                 "bucket": sigs}
+            )
+
+    return kernel
 
 
 def lsh_bucket_topk(
@@ -90,6 +131,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 0,
+    corpus_arrow: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit signature over n_planes.
     Query and corpus rows meet in a hash join on the bucket key, then
@@ -101,6 +143,13 @@ def lsh_bucket_topk(
     most likely flipped a true neighbor). Recall rises steeply with a
     few probes while the corpus side stays one-bucket-per-vector, so the
     join fan-out is only (1 + n_probes) x queries — not corpus-sized.
+
+    The CORPUS side (billions of vectors at scale) computes its bucket
+    via an Arrow-batched numpy matmul (`corpus_arrow=True`, the default
+    — see _bucket_kernel); `corpus_arrow=False` keeps the pure-JVM
+    expression path as the reference implementation. The query side is
+    small and stays on expressions (its per-plane margins also drive the
+    multi-probe bit ranking).
     """
     planes = [_hyperplane(dim, seed, p) for p in range(n_planes)]
 
@@ -117,7 +166,14 @@ def lsh_bucket_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", sig_from_dots(dots(F.col("cv"))))
+    )
+    if corpus_arrow:
+        c = c.mapInPandas(
+            _bucket_kernel(planes, "neighbor_id", "cv"),
+            "neighbor_id long, cv array<double>, bucket string",
+        )
+    else:
+        c = c.withColumn("bucket", sig_from_dots(dots(F.col("cv"))))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -48,6 +48,26 @@ def test_lsh_bucket_topk_finds_parallel_vector(spark):
     assert 3 not in ids  # opposite vector lands in the complement bucket
 
 
+def test_lsh_arrow_buckets_match_expression_path(spark):
+    """The Arrow/numpy corpus-side bucket kernel (production path) must
+    return exactly the rows of the pure-JVM expression path on a real
+    embeddings table — same buckets, same re-ranked neighbors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    corpus = emb.where("vec_id >= 5")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in df.collect()
+        )
+
+    for probes in (0, 3):
+        arrow = S.lsh_bucket_topk(corpus, q, k=3, n_probes=probes, corpus_arrow=True)
+        expr = S.lsh_bucket_topk(corpus, q, k=3, n_probes=probes, corpus_arrow=False)
+        assert rows(arrow) == rows(expr), f"n_probes={probes}"
+
+
 def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     """Multi-probe must (a) never return duplicate (query, neighbor)
     pairs, (b) reach recall >= the single-bucket variant, measured
