@@ -150,6 +150,13 @@ def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     path) to pick the right one; the oracle encodes the analytically
     provable winner (the near-exact candidate k-1 strictly out-scores k
     under string_score).
+
+    X4 coverage: lc_terms of customers with k % 9 == 4 carry the
+    reference's '(Spirit)' qualifier (lib/utils_shadowcat.js:230) that
+    merge must strip back to c_name — the oracle is blind to the suffix,
+    so an unstripped name hash-fails kg_agents/kg_triples. Rows in the
+    engineered fuzzy blocks (k % 17 in (4, 5)) are exempted so the
+    provable-argmax analysis above is untouched.
     """
     from serialization_agents_spark.functions.normalize import normalize_name_expr
 
@@ -157,6 +164,11 @@ def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("c_custkey")
     norm = normalize_name_expr(F.col("c_name"))
     collide = (k % 17 == 5) & (k >= 1)
+    spirit = (k % 9 == 4) & ~(k % 17).isin(4, 5)
+    lc_term = F.when(
+        k % 2 == 0,
+        F.concat(F.col("c_name"), F.when(spirit, F.lit(" (Spirit)")).otherwise(F.lit(""))),
+    )
     return cust.select(
         k.cast("string").alias("viaf_id"),
         F.array(k.cast("string")).alias("viaf_all"),
@@ -166,7 +178,7 @@ def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 2 == 0, F.concat(F.lit("n"), k.cast("string"))).alias("lc_id"),
         F.when(k % 4 == 0, (k + 500000000).cast("string")).alias("getty_id"),
         F.when(k % 3 == 0, F.concat(F.lit("Q"), k.cast("string"))).alias("wikidata_id"),
-        F.when(k % 2 == 0, F.col("c_name")).alias("lc_term"),
+        lc_term.alias("lc_term"),
         F.lit(None).cast("string").alias("dnb_term"),
         F.col("c_name").alias("viaf_term"),
         F.lit(None).cast("string").alias("birth"),
@@ -209,7 +221,7 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
 
     from serialization_agents_spark.operators.canonicalize import canonicalize_agents
     from serialization_agents_spark.operators.linking import link_mentions
-    from serialization_agents_spark.operators.merge import merge_entities
+    from serialization_agents_spark.operators.merge import merge_entities, score_alt_forms
 
     mentions = _kg_mentions(spark, sf_dir)
     linked, _dead = link_mentions(
@@ -220,6 +232,9 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
     linked = linked.persist()
     agents = merge_entities(linked)
     canonical, _iters = canonicalize_agents(agents)
+    # X2/X3 altForm scores, entity-scale — same stage order as
+    # plans/pipeline.py:run_pipeline
+    canonical = score_alt_forms(canonical)
     canonical = canonical.persist()
     _KG_CACHE[key] = (linked, agents, canonical)
     return linked, agents, canonical
@@ -447,6 +462,62 @@ FROM walk w WHERE i = length(q)
 """
 
 
+def _kg_alt_forms_sql() -> str:
+    """Oracle for kg_alt_forms (X2/X3): the distinct per-entity alt forms
+    (A6-deduped, controlled-name-excluded — same algebra as the kg_triples
+    altLabel branch), with percentOverlap as plain SQL and the
+    string_score walk vs the NORMALIZED controlled name as the same
+    recursive CTE `_string_score_sql` uses."""
+    rel = "strpos(substr(lower(t), s + 1), substr(lower(q), i + 1, 1))"
+    final = "(0.5 * (w.r / length(t) + w.r / length(q)) / w.f)"
+    base = _KG_SQL_BASE.replace("WITH n AS", "WITH RECURSIVE n AS", 1)
+    return base + f""",
+alt AS (
+  SELECT DISTINCT d.entity_key, d.name_raw, d.prio, e.name_controlled
+  FROM deduped d JOIN entities e USING (entity_key)
+  WHERE d.name_raw <> e.name_controlled
+),
+pq AS (
+  SELECT entity_key, name_raw, prio,
+         trim(regexp_replace(lower(name_controlled), '[^a-z0-9]+', ' ', 'g')) AS t,
+         trim(regexp_replace(lower(name_raw), '[^a-z0-9]+', ' ', 'g')) AS q,
+         round(CASE WHEN name_raw = name_controlled THEN 100.0
+                    WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+                    ELSE 100.0 * len(list_intersect(ta, tb)) / greatest(len(ta), len(tb))
+               END, 4) AS poverlap
+  FROM (SELECT *,
+          list_distinct(list_filter(string_split(name_raw, ' '), x -> x <> '')) AS ta,
+          list_distinct(list_filter(string_split(name_controlled, ' '), x -> x <> '')) AS tb
+        FROM alt)
+),
+walk AS (
+  SELECT entity_key, name_raw, prio, poverlap, t, q, 0 AS i,
+         CAST(0.0 AS DOUBLE) AS r, 0 AS s, CAST(1.0 AS DOUBLE) AS f
+  FROM pq
+  UNION ALL
+  SELECT entity_key, name_raw, prio, poverlap, t, q, i + 1,
+         CASE WHEN rel = 0 THEN r ELSE r
+           + (CASE WHEN rel = 1 THEN 0.7 ELSE 0.1
+              + (CASE WHEN substr(t, s + rel - 1, 1) = ' ' THEN 0.8 ELSE 0.0 END) END)
+           + (CASE WHEN substr(t, s + rel, 1) = substr(q, i + 1, 1) THEN 0.1 ELSE 0.0 END)
+         END,
+         CASE WHEN rel = 0 THEN s ELSE s + rel END,
+         CASE WHEN rel = 0 THEN f + 0.5 ELSE f END
+  FROM (SELECT entity_key, name_raw, prio, poverlap, t, q, i, r, s, f, {rel} AS rel
+        FROM walk WHERE i < length(q)) x
+)
+SELECT entity_key, name_raw AS alt_name,
+       CASE WHEN prio = 1 THEN 'web' ELSE 'web_subject' END AS source,
+       poverlap,
+       round(CASE WHEN t = q THEN 1.0
+                  WHEN length(q) = 0 THEN 0.0
+                  WHEN substr(lower(q), 1, 1) = substr(lower(t), 1, 1)
+                       AND {final} < 0.85 THEN {final} + 0.15
+                  ELSE {final} END, 4) AS fuzzy
+FROM walk w WHERE i = length(q)
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 # ---------------------------------------------------------------------------
@@ -588,8 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.explode(F.array(k, (k + 7) % n)).alias("cand_key"),
         ).withColumn("query", F.format_string("Customer#%09d", F.col("cand_key")))
         # exchange barrier: target/query become concrete columns, keeping
-        # the normalize regex OUT of the interpreted walk's step exprs
-        pairs = pairs.repartition(8, "mention_key")
+        # the normalize regex OUT of the interpreted walk's step exprs.
+        # Width derived from the exploded pair count (2 per customer) —
+        # a fixed constant would cap the stage at scale.
+        pairs = pairs.repartition(max(8, 2 * n // 100_000 + 1), "mention_key")
         return pairs.select(
             "mention_key",
             "cand_key",
@@ -880,9 +953,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return linked.select("url", "name_raw", "entity_key").distinct()
 
     def kg_agents(spark, sf):
+        """Also certifies X4 (lc_terms with ' (Spirit)' are stripped back
+        to c_name — the oracle derives names WITHOUT the suffix) and X6
+        (ulan = getty_id int-cast, lib/utils_shadowcat.js:230,236)."""
         _linked, agents, _canonical = _kg_canonical(spark, sf)
         return agents.select(
-            "entity_key", "name_controlled", "is_controlled", "type", "mention_count"
+            "entity_key", "name_controlled", "is_controlled", "type",
+            "ulan", "mention_count",
+        )
+
+    def kg_alt_forms(spark, sf):
+        """X2/X3 under the hash gate: the scored altForms the reference
+        stores on every agent (poverlap at lib/utils_shadowcat.js:247,
+        fuzzy vs the final nameControlled; trivial-case 100/1.0 at :401),
+        computed by merge.score_alt_forms on entity-scale rows."""
+        _linked, _agents, canonical = _kg_canonical(spark, sf)
+        af = canonical.select(
+            "entity_key", F.explode("alt_forms").alias("af")
+        )
+        return af.select(
+            "entity_key",
+            F.col("af.name").alias("alt_name"),
+            F.col("af.source").alias("source"),
+            F.round("af.poverlap", 4).alias("poverlap"),
+            F.round("af.fuzzy", 4).alias("fuzzy"),
         )
 
     def kg_triples(spark, sf):
@@ -938,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_error_log": s15_error_log,
         "kg_linked": kg_linked,
         "kg_agents": kg_agents,
+        "kg_alt_forms": kg_alt_forms,
         "kg_triples": kg_triples,
         "kg_enumerate_agents": kg_enumerate_agents,
     }
@@ -1305,8 +1400,14 @@ FROM mm
         ),
         "kg_agents": (
             _KG_SQL_BASE
-            + "SELECT entity_key, name_controlled, is_controlled, type, mention_count FROM entities"
+            + "SELECT entity_key, name_controlled, is_controlled, type, "
+            # X6: ulan = int-cast getty_id; X4 is certified implicitly —
+            # name_controlled here NEVER carries the ' (Spirit)' suffix
+            # the Spark authority's lc_terms do.
+            "CASE WHEN ck % 4 = 0 THEN ck + 500000000 END AS ulan, "
+            "mention_count FROM entities"
         ),
+        "kg_alt_forms": _kg_alt_forms_sql(),
         "kg_triples": (
             _KG_SQL_BASE
             + """
