@@ -318,6 +318,38 @@ entities AS (
 """
 
 
+# The kg_triples result set (shared by the kg_triples oracle and the
+# triples-stage checksum in kg_lineage).
+_KG_TRIPLES_SELECT = """
+SELECT 'registry:agent/' || entity_key AS subj, 'rdf:type' AS pred,
+       CASE WHEN type = 'corporate' THEN 'foaf:Organization' ELSE 'foaf:Person' END AS obj
+FROM entities
+UNION ALL
+SELECT 'registry:agent/' || entity_key, 'skos:prefLabel', name_controlled FROM entities
+UNION ALL
+SELECT DISTINCT 'registry:agent/' || d.entity_key, 'skos:altLabel', d.name_raw
+FROM deduped d JOIN entities e ON d.entity_key = e.entity_key
+WHERE d.name_raw <> e.name_controlled
+UNION ALL
+SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://viaf.org/viaf/' || ck
+FROM entities WHERE ck IS NOT NULL
+UNION ALL
+SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://www.wikidata.org/entity/Q' || ck
+FROM entities WHERE ck IS NOT NULL AND ck % 3 = 0
+UNION ALL
+SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://id.loc.gov/authorities/names/n' || ck
+FROM entities WHERE ck IS NOT NULL AND ck % 2 = 0
+UNION ALL
+SELECT DISTINCT url, 'dct:contributor', 'registry:agent/' || entity_key FROM deduped
+"""
+
+
+def _cksum(expr: str) -> str:
+    """Order-independent md5-prefix SUM checksum (DuckDB side; mirrors
+    the Spark conv(substring(md5(k),1,8),16,10) sum in kg_lineage)."""
+    return f"CAST(sum(('0x' || substr(md5({expr}), 1, 8))::BIGINT) AS BIGINT)"
+
+
 # DuckDB reproduction of operators/multimodal.py's synthetic media table
 # and fake decoders: content is the utf-8 bytes of sha256('media'||id)'s
 # hex string, and every decoder output is md5-digest arithmetic over it
@@ -989,6 +1021,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "entity_key", "registry_id"
         )
 
+    def kg_lineage(spark, sf):
+        """A7/X13 under the hash gate: per-stage lineage metrics —
+        (stage, row_count, key_checksum) — the driver-queryable face of
+        the reference's progress counters + metrics table
+        (lib/shadowcat_serialize_viaf_agents.js:63-77). The checksum is
+        an order-independent SUM over md5-prefix ints (md5, not
+        xxhash64, so DuckDB can derive the identical value); the
+        pipeline's per-partition variant lives in plans/lineage.py."""
+        linked, agents, canonical = _kg_canonical(spark, sf)
+        mentions = _kg_mentions(spark, sf)
+        triples = materialize_triples(canonical, linked)
+
+        def m(df, stage, key):
+            return (
+                df.select(key.alias("k"))
+                .agg(
+                    F.count(F.lit(1)).alias("row_count"),
+                    F.sum(
+                        F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("long")
+                    ).alias("key_checksum"),
+                )
+                .select(F.lit(stage).alias("stage"), "row_count", "key_checksum")
+            )
+
+        return (
+            m(
+                mentions, "mentions",
+                F.concat_ws(
+                    "|", "url", "name_raw",
+                    F.coalesce("viaf_hint", F.lit("")),
+                    F.coalesce("lc_hint", F.lit("")), "source",
+                ),
+            )
+            .unionByName(
+                m(linked, "linked", F.concat_ws("|", "url", "name_raw", "entity_key"))
+            )
+            .unionByName(m(agents, "agents", F.col("entity_key")))
+            .unionByName(
+                m(triples, "triples", F.concat_ws("|", "subj", "pred", "obj"))
+            )
+        )
+
     return {
         "s2_minmax_probe": s2_minmax_probe,
         "s3_scan_project_filter": s3_scan_project_filter,
@@ -1035,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alt_forms": kg_alt_forms,
         "kg_triples": kg_triples,
         "kg_enumerate_agents": kg_enumerate_agents,
+        "kg_lineage": kg_lineage,
     }
 
 
@@ -1408,34 +1483,26 @@ FROM mm
             "mention_count FROM entities"
         ),
         "kg_alt_forms": _kg_alt_forms_sql(),
-        "kg_triples": (
-            _KG_SQL_BASE
-            + """
-            SELECT 'registry:agent/' || entity_key AS subj, 'rdf:type' AS pred,
-                   CASE WHEN type = 'corporate' THEN 'foaf:Organization' ELSE 'foaf:Person' END AS obj
-            FROM entities
-            UNION ALL
-            SELECT 'registry:agent/' || entity_key, 'skos:prefLabel', name_controlled FROM entities
-            UNION ALL
-            SELECT DISTINCT 'registry:agent/' || d.entity_key, 'skos:altLabel', d.name_raw
-            FROM deduped d JOIN entities e ON d.entity_key = e.entity_key
-            WHERE d.name_raw <> e.name_controlled
-            UNION ALL
-            SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://viaf.org/viaf/' || ck
-            FROM entities WHERE ck IS NOT NULL
-            UNION ALL
-            SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://www.wikidata.org/entity/Q' || ck
-            FROM entities WHERE ck IS NOT NULL AND ck % 3 = 0
-            UNION ALL
-            SELECT 'registry:agent/' || entity_key, 'owl:sameAs', 'http://id.loc.gov/authorities/names/n' || ck
-            FROM entities WHERE ck IS NOT NULL AND ck % 2 = 0
-            UNION ALL
-            SELECT DISTINCT url, 'dct:contributor', 'registry:agent/' || entity_key FROM deduped
-            """
-        ),
+        "kg_triples": (_KG_SQL_BASE + _KG_TRIPLES_SELECT),
         "kg_enumerate_agents": (
             _KG_SQL_BASE
             + "SELECT entity_key, row_number() OVER (ORDER BY entity_key) + 9999999 AS registry_id "
             "FROM entities"
+        ),
+        "kg_lineage": (
+            _KG_SQL_BASE
+            + f""",
+tri AS ({_KG_TRIPLES_SELECT})
+SELECT 'mentions' AS stage, count(*) AS row_count,
+       {_cksum("url || '|' || name_raw || '|' || coalesce(viaf_hint, '') || '|' || coalesce(lc_hint, '') || '|' || src")} AS key_checksum
+FROM mentions
+UNION ALL
+SELECT 'linked', count(*), {_cksum("url || '|' || name_raw || '|' || entity_key")}
+FROM linked
+UNION ALL
+SELECT 'agents', count(*), {_cksum("entity_key")} FROM entities
+UNION ALL
+SELECT 'triples', count(*), {_cksum("subj || '|' || pred || '|' || obj")} FROM tri
+"""
         ),
     }

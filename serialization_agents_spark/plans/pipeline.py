@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from serialization_agents_spark.operators.canonicalize import canonicalize_agents
@@ -53,6 +53,12 @@ class PipelineResult:
     cc_iterations: int = 0
     stages_resumed: list[str] = field(default_factory=list)
     stages_computed: list[str] = field(default_factory=list)
+    # A7/X13 — per-stage observe() counters (the Spark-native analogue of
+    # the reference's IPC progress counters,
+    # /root/reference/lib/shadowcat_serialize_viaf_agents.js:63-77).
+    # Filled for COMPUTED stages once the stage's write action runs;
+    # resumed stages are read back, not re-counted.
+    observations: dict[str, Observation] = field(default_factory=dict)
 
 
 def _stage_path(out_dir: str, stage: str) -> str:
@@ -76,6 +82,7 @@ def run_pipeline(
 ) -> PipelineResult:
     resumed: list[str] = []
     computed: list[str] = []
+    observations: dict[str, Observation] = {}
 
     def materialize(df: DataFrame, stage: str, key_col: str) -> DataFrame:
         """Write stage output + lineage if out_dir set; resume if present.
@@ -83,6 +90,11 @@ def run_pipeline(
         Without out_dir, fan-out stages are persisted in memory/disk so
         the DAG is computed once, not once per downstream action —
         `linked` feeds both the merge and the provenance triples.
+
+        Every computed stage also carries an `observe()` metric (A7 —
+        zero-cost counters piggybacking the stage's own write action, the
+        analogue of the reference's per-record progress IPC,
+        /root/reference/lib/shadowcat_serialize_viaf_agents.js:63-77).
         """
         if out_dir is None:
             if cache and stage in ("linked", "canonical"):
@@ -92,7 +104,10 @@ def run_pipeline(
         if _is_complete(out_dir, stage):
             resumed.append(stage)
             return spark.read.parquet(path)
+        obs = Observation(f"{run_id}:{stage}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("row_count"))
         df.write.mode("overwrite").parquet(path)
+        observations[stage] = obs  # filled: the write action ran above
         out = spark.read.parquet(path)
         stage_metrics(out, run_id, stage, key_col).write.mode("append").parquet(
             os.path.join(out_dir, "_metrics")
@@ -148,4 +163,5 @@ def run_pipeline(
         cc_iterations=iters,
         stages_resumed=resumed,
         stages_computed=computed,
+        observations=observations,
     )

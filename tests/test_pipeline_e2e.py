@@ -121,6 +121,12 @@ def test_resume_from_checkpoint(spark, corpus, tmp_path):
 
     full = run_pipeline(spark, pages, authority, redirects, blacklist, out_dir=out)
     assert full.stages_computed and not full.stages_resumed
+    # A7 — observe() counters piggyback each computed stage's write and
+    # must equal the materialized row counts (the reference's progress
+    # counters, lib/shadowcat_serialize_viaf_agents.js:63-77)
+    assert set(full.observations) == set(full.stages_computed)
+    for stage, df in [("mentions", full.mentions), ("triples", full.triples)]:
+        assert full.observations[stage].get["row_count"] == df.count(), stage
     want = global_checksum(
         full.triples.select(F.concat_ws("", "subj", "pred", "obj").alias("k")), "k"
     )
