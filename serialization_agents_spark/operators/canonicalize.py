@@ -235,9 +235,10 @@ def canonicalize_agents(
         F.array_sort("alt_forms").alias("alt_forms"),
         F.array_sort("fast").alias("fast"),
         F.array().cast("array<string>").alias("viaf_merged"),
-        F.array().cast("array<string>").alias("merge_source"),
+        F.array().cast("array<struct<source:string,id:string>>").alias("merge_source"),
         "mention_count",
         "source_priority",
+        "primary_source",
         "component",
     )
 
@@ -285,9 +286,19 @@ def canonicalize_agents(
             "alt_forms"
         ),
         arr_union("fast", 64),
-        F.array_sort(F.collect_set("entity_key")).alias("all_keys"),
+        # member lineage (source, id) pairs — the reference's mergeSource
+        # entry shape (/root/reference/lib/utils.js:290-297)
+        F.array_sort(
+            F.collect_set(
+                F.struct(
+                    F.col("primary_source").alias("source"),
+                    F.col("entity_key").alias("id"),
+                )
+            )
+        ).alias("all_members"),
         F.sum("mention_count").alias("mention_count"),
         F.min("source_priority").alias("source_priority"),
+        _argmin_field(F.col("prio"), F.col("primary_source"), "primary_source"),
         F.count(F.lit(1)).alias("merged_row_count"),
     )
 
@@ -313,10 +324,11 @@ def canonicalize_agents(
             "viaf_merged"
         ),
         F.array_sort(
-            F.filter("all_keys", lambda k: k != F.col("entity_key"))
+            F.filter("all_members", lambda m: m["id"] != F.col("entity_key"))
         ).alias("merge_source"),
         "mention_count",
         "source_priority",
+        "primary_source",
         "component",
     )
     # Materialize (entity-scale) so `joined`'s cache can be released

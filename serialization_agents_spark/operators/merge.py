@@ -118,6 +118,13 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
     def _capped(col: str, cap: int) -> Column:
         return F.slice(F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, cap)
 
+    # the entity's primary source: lexicographic argmin by (priority,
+    # source name) — order-free, exact under any fold split (used by the
+    # canonicalizer's merge_source lineage, reference lib/utils.js:290-297)
+    src_pref = F.struct(
+        F.col("source_priority").alias("p"), F.col("source").alias("v")
+    )
+
     partial = salted.groupBy("entity_key", "salt").agg(
         F.min("name_pref").alias("name_pref"),
         F.first("auth_hit", ignorenulls=True).alias("auth"),
@@ -129,6 +136,7 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("mention_count"),
         F.min("source_priority").alias("source_priority"),
+        F.min(src_pref).alias("src_pref"),
     )
 
     agg = partial.groupBy("entity_key").agg(
@@ -138,6 +146,7 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
         _capped("alt_forms", MAX_ALT_FORMS).alias("alt_forms"),
         F.sum("mention_count").alias("mention_count"),
         F.min("source_priority").alias("source_priority"),
+        F.min("src_pref").alias("src_pref"),
     )
 
     name_controlled = F.col("name_pref.v")
@@ -171,9 +180,10 @@ def merge_entities(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
         ).alias("alt_forms"),
         F.coalesce(auth["fast"], F.array().cast("array<long>")).alias("fast"),
         F.array().cast("array<string>").alias("viaf_merged"),
-        F.array().cast("array<string>").alias("merge_source"),
+        F.array().cast("array<struct<source:string,id:string>>").alias("merge_source"),
         F.col("mention_count"),
         F.col("source_priority"),
+        F.col("src_pref")["v"].alias("primary_source"),
         # lcTerm/viafTerm/local rank of name_controlled — carried so the
         # streaming incremental fold can re-apply the SAME priority min
         # instead of existing-wins (keeps batch(all) == fold(batches)).

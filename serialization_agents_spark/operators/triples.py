@@ -90,7 +90,10 @@ def materialize_triples(canonical: DataFrame, linked: DataFrame | None = None) -
         # the optimizer may broadcast (entity-count-sized dimension).
         remap = canonical.select(
             F.explode(
-                F.array_union(F.array(F.col("entity_key")), F.col("merge_source"))
+                F.array_union(
+                    F.array(F.col("entity_key")),
+                    F.transform("merge_source", lambda m: m["id"]),
+                )
             ).alias("member_key"),
             F.col("entity_key").alias("canonical_key"),
         )

@@ -198,6 +198,7 @@ def run_oracle(
                 alt_names=set(e["alt_names"]),
                 urls=set(e["urls"]),
                 source_priority=e["prio"],
+                primary_source="web" if e["prio"] == 1 else "web_subject",
             )
         )
 
@@ -228,8 +229,11 @@ def run_oracle(
             viaf=sorted({v for g in members for v in g["viaf"]}),
             alt_names=set().union(*[g["alt_names"] for g in members]),
             urls=set().union(*[g["urls"] for g in members]),
+            # (source, id) member lineage, lib/utils.js:290-297
             merge_source=sorted(
-                g["entity_key"] for g in members if g["entity_key"] != head["entity_key"]
+                (g["primary_source"], g["entity_key"])
+                for g in members
+                if g["entity_key"] != head["entity_key"]
             ),
         )
         canonical.append(merged)

@@ -127,7 +127,20 @@ AGENTS = StructType(
         StructField("alt_forms", ArrayType(ALT_FORM), True),
         StructField("fast", ArrayType(LongType()), True),
         StructField("viaf_merged", ArrayType(StringType()), True),
-        StructField("merge_source", ArrayType(StringType()), True),
+        # merge lineage: (source, id) per merged-in member — the shape
+        # the reference appends at /root/reference/lib/utils.js:290-297
+        StructField(
+            "merge_source",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("source", StringType(), True),
+                        StructField("id", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 

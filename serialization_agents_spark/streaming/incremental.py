@@ -87,12 +87,25 @@ def incremental_merge_batch(
             ),
         )
     )
+    # primary_source folds through the SAME (source_priority, source)
+    # lexicographic argmin the batch merge computes — combining partial
+    # argmins lexicographically IS the global argmin, so batch == fold.
+    src_pref = F.min(
+        F.when(
+            F.col("primary_source").isNotNull(),
+            F.struct(
+                F.col("source_priority").alias("p"),
+                F.col("primary_source").alias("v"),
+            ),
+        )
+    )
 
     agg = both.groupBy("entity_key").agg(
         F.first("registry_id", ignorenulls=True).alias("registry_id"),
         F.max("is_controlled").alias("is_controlled"),
         name_pref["v"].alias("name_controlled"),
         name_pref["p"].alias("name_pref_rank"),
+        src_pref["v"].alias("primary_source"),
         *[argmin_scalar(c) for c in _SCALAR_COLS],
         *[
             F.slice(

@@ -15,7 +15,7 @@ def _agents_df(spark, rows):
     """rows: (entity_key, is_controlled, name_controlled, viaf, wikidata)"""
     data = [
         (None, ek, viaf, ctl, name, wd, None, None, None, None, None,
-         "personal", [], [], [], [], [], 1, 1)
+         "personal", [], [], [], [], [], 1, 1, "web")
         for (ek, ctl, name, viaf, wd) in rows
     ]
     schema = (
@@ -25,10 +25,16 @@ def _agents_df(spark, rows):
         "type string, name_normalized array<string>, "
         "alt_forms array<struct<name:string,type:string,source:string,"
         "id:string,poverlap:double,fuzzy:double>>, fast array<long>, "
-        "viaf_merged array<string>, merge_source array<string>, "
-        "mention_count long, source_priority int"
+        "viaf_merged array<string>, "
+        "merge_source array<struct<source:string,id:string>>, "
+        "mention_count long, source_priority int, primary_source string"
     )
     return spark.createDataFrame(data, schema)
+
+
+def _ms(row):
+    """merge_source as comparable (source, id) tuples."""
+    return [tuple(m) for m in row["merge_source"]]
 
 
 def test_name_conflict_merge(spark):
@@ -48,9 +54,9 @@ def test_name_conflict_merge(spark):
     merged = rows["viaf:1"]  # lexicographic min of the component
     assert sorted(merged["viaf"]) == ["1", "2"]
     assert merged["wikidata"] == "Q42"          # backfilled from viaf:2
-    assert merged["merge_source"] == ["viaf:2"]
+    assert _ms(merged) == [("web", "viaf:2")]
     assert merged["viaf_merged"] == ["2"]       # ids from merged members
-    assert rows["viaf:3"]["merge_source"] == []
+    assert _ms(rows["viaf:3"]) == []
 
 
 def test_transitive_chain_via_shared_viaf_ids(spark):
@@ -69,7 +75,7 @@ def test_transitive_chain_via_shared_viaf_ids(spark):
     rows = {r["entity_key"]: r.asDict() for r in canonical.collect()}
     assert set(rows) == {"viaf:A", "viaf:D"}
     assert sorted(rows["viaf:A"]["viaf"]) == ["v1", "v2", "v3"]
-    assert rows["viaf:A"]["merge_source"] == ["viaf:B", "viaf:C"]
+    assert _ms(rows["viaf:A"]) == [("web", "viaf:B"), ("web", "viaf:C")]
 
 
 def test_controlled_beats_uncontrolled_as_canonical(spark):
@@ -84,7 +90,7 @@ def test_controlled_beats_uncontrolled_as_canonical(spark):
     rows = canonical.collect()
     assert len(rows) == 1
     assert rows[0]["entity_key"] == "viaf:9"
-    assert rows[0]["merge_source"] == ["noViaf:zz"]
+    assert _ms(rows[0]) == [("web", "noViaf:zz")]
 
 
 def test_cc_converges_on_long_chain(spark):
