@@ -15,17 +15,19 @@ The fold is a BUCKETED partial rewrite (`fold_batch_into_agents`): the
 agents table is hash-partitioned on entity_key and each micro-batch
 rewrites only the buckets its keys touch — O(batch) work per batch, not
 O(|agents|) — with a persisted last-batch marker + batch-keyed staging
-for replay safety. On an Iceberg/Delta deployment the fold becomes a
-single `MERGE INTO` with the identical set-union / priority-coalesce
-update expressions. Canonicalization (CC) and enumeration remain
-periodic batch jobs over the maintained agents table — exactly the
-reference's split between continuous serializers and the final
-enumerate pass (/root/reference/README.md:22-46).
+for replay safety. The durability primitives (marker, pruned read,
+staging, swap) live behind streaming/table_format.AgentsTable:
+`ParquetBucketTable` is the local-fs implementation used here, and
+`LakehouseAgentsTable` collapses the whole fold into one atomic
+`MERGE INTO` (table_format.merge_into_sql carries the identical
+set-union / priority-coalesce update expressions) for object-storage
+deployments where renames are unsafe. Canonicalization (CC) and
+enumeration remain periodic batch jobs over the maintained agents
+table — exactly the reference's split between continuous serializers
+and the final enumerate pass (/root/reference/README.md:22-46).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,31 +121,12 @@ def incremental_merge_batch(
     return agg.select(*cols)
 
 
-N_BUCKETS = 64
-
-
-def _bucket(col: str = "entity_key") -> F.Column:
-    return F.pmod(F.xxhash64(col), F.lit(N_BUCKETS)).cast("int")
-
-
-def _read_marker(agents_dir: str) -> int:
-    path = os.path.join(agents_dir, "_last_batch")
-    if not os.path.exists(path):
-        return -1
-    with open(path) as fh:
-        return int(fh.read().strip())
-
-
-def _write_marker(agents_dir: str, batch_id: int) -> None:
-    os.makedirs(agents_dir, exist_ok=True)
-    tmp = os.path.join(agents_dir, "_last_batch.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, os.path.join(agents_dir, "_last_batch"))
-
-
 def fold_batch_into_agents(
-    spark: SparkSession, agents_dir: str, batch_agents: DataFrame, batch_id: int
+    spark: SparkSession,
+    agents_dir: "str | None",
+    batch_agents: DataFrame,
+    batch_id: int,
+    table=None,
 ) -> bool:
     """Fold one micro-batch into the bucket-partitioned agents table.
 
@@ -154,54 +137,47 @@ def fold_batch_into_agents(
       its keys land in, so the per-batch fold reads/rewrites
       O(|batch| / |agents| * N_BUCKETS) of the table, not all of it —
       the parquet stand-in for the `MERGE INTO` a lakehouse table format
-      would run;
+      runs (streaming/table_format.merge_into_sql is that statement);
     - replay guard: the last applied batch id is persisted next to the
-      table (`_last_batch`); a foreachBatch replay after a crash
-      short-circuits instead of double-folding mention counts
-      (parquet overwrite has no sink commit log of its own);
+      table; a foreachBatch replay after a crash short-circuits instead
+      of double-folding mention counts (parquet overwrite has no sink
+      commit log of its own);
     - crash-consistent staging: the folded buckets are staged under a
-      batch-id-keyed directory BEFORE the swap. A replay that finds the
+      batch-id-keyed location BEFORE the swap. A replay that finds the
       staging complete re-runs only the (idempotent) swap + marker; it
-      never refolds from a half-swapped table. Staging dirs are removed
-      after the marker commits.
+      never refolds from a half-swapped table. Staging is dropped after
+      the marker commits.
+
+    All durability primitives live behind the `AgentsTable` interface
+    (streaming/table_format.py): `ParquetBucketTable` implements them
+    with local-fs renames (the sandbox), `LakehouseAgentsTable` with one
+    atomic MERGE INTO (object storage). Pass `table` to override the
+    default ParquetBucketTable(agents_dir).
 
     Returns True if the batch was applied, False if skipped as replayed.
     """
-    import shutil
+    from serialization_agents_spark.streaming.table_format import (
+        ParquetBucketTable,
+        bucket_expr,
+    )
 
-    if batch_id <= _read_marker(agents_dir):
+    if table is None:
+        table = ParquetBucketTable(agents_dir)
+
+    if batch_id <= table.last_batch_id():
         return False  # replayed batch: already folded
 
-    staging = os.path.join(agents_dir + ".staging", f"b{batch_id}")
-    batch_agents = batch_agents.withColumn("bucket", _bucket())
+    if not table.staging_complete(batch_id):
+        keyed = batch_agents.withColumn("bucket", bucket_expr())
+        touched = [r["bucket"] for r in keyed.select("bucket").distinct().collect()]
+        # partition-pruned read: only the buckets this batch touches
+        current = table.read_buckets(spark, touched) if table.exists() else None
+        folded = incremental_merge_batch(current, batch_agents)
+        table.write_staging(folded, batch_id)
 
-    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-        touched = [r["bucket"] for r in batch_agents.select("bucket").distinct().collect()]
-        current = None
-        # dynamic partition overwrite leaves NO root _SUCCESS; the table
-        # exists iff bucket= partition dirs do
-        has_table = os.path.isdir(agents_dir) and any(
-            e.startswith("bucket=") for e in os.listdir(agents_dir)
-        )
-        if has_table:
-            # partition-pruned read: only the buckets this batch touches
-            current = spark.read.parquet(agents_dir).where(F.col("bucket").isin(touched))
-        folded = incremental_merge_batch(
-            None if current is None else current.drop("bucket"),
-            batch_agents.drop("bucket"),
-        ).withColumn("bucket", _bucket())
-        folded.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-
-    # swap: dynamic partition overwrite replaces ONLY the staged buckets
-    (
-        spark.read.parquet(staging)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(agents_dir)
-    )
-    _write_marker(agents_dir, batch_id)
-    shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+    table.swap_staging(spark, batch_id)
+    table.commit_batch_id(batch_id)
+    table.drop_staging(batch_id)
     return True
 
 

@@ -119,6 +119,25 @@ def test_bucketed_fold_touches_only_batch_buckets(spark, tmp_path):
     assert w == g
 
 
+def test_merge_into_sql_covers_fold_columns():
+    """The lakehouse MERGE INTO shim must carry an update rule for every
+    column the parquet-era fold maintains — guards drift between
+    table_format.merge_into_sql and incremental_merge_batch."""
+    from serialization_agents_spark.streaming.incremental import (
+        _SCALAR_COLS,
+        _SET_COLS,
+    )
+    from serialization_agents_spark.streaming.table_format import merge_into_sql
+
+    sql = merge_into_sql("agents", "batch")
+    for c in [*_SET_COLS, *_SCALAR_COLS,
+              "name_controlled", "name_pref_rank", "primary_source",
+              "mention_count", "source_priority", "is_controlled",
+              "registry_id"]:
+        assert f"{c} =" in sql, c
+    assert "MERGE INTO agents" in sql and "WHEN NOT MATCHED THEN INSERT" in sql
+
+
 def test_stream_drains_directory(spark, tmp_path):
     pages = synth.synth_pages(spark, n_pages=200, n_auth=50)
     authority = synth.synth_authority(spark, n_auth=50)
