@@ -240,6 +240,24 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
     return linked, agents, canonical
 
 
+def kg_cache_clear(sf_dir: str | None = None) -> int:
+    """Release the memoized kg pipeline's persisted frames (all entries,
+    or just one sf_dir's). The bench/driver processes are short-lived so
+    the cache can stay pinned there, but a long-lived session embedding
+    queries() should call this between corpora to avoid leaking executor
+    storage. Returns the number of entries released."""
+    released = 0
+    for key in list(_KG_CACHE):
+        if sf_dir is not None and key[1] != sf_dir:
+            continue
+        linked, _agents, canonical = _KG_CACHE.pop(key)
+        linked.unpersist()
+        canonical.unpersist()
+        _KG_N.pop(key, None)
+        released += 1
+    return released
+
+
 # SQL building blocks shared by the kg_* oracles (DuckDB dialect).
 # Mirrors _kg_pages' four mention-1 branches (stale/vhint/lchint/plain),
 # the secondary + noise + promoted-subject arms, and the linking outcome:
@@ -367,6 +385,95 @@ WITH kinds AS (
 """
 
 
+def _lcg_vectors_cte(n: int, dim: int, offset: int, idx: str, alias: str) -> str:
+    """The deterministic vector family of similarity._hyperplane as a
+    recursive CTE: x0 = (seed*1000003 + (offset+idx)*7919 + 12345) masked,
+    x <- (x*1103515245 + 12345) masked, w = x/0x7FFFFFFF*2 - 1. Shared by
+    the LSH-plane, IVF-centroid, and near-dup oracles (offset selects the
+    family: 0 = LSH planes, IVF_CENTROID_BASE = centroids)."""
+    return f"""{alias}_lcg AS (
+  SELECT {idx}, 0 AS i,
+         CAST((42 * 1000003 + ({offset} + {idx}) * 7919 + 12345) % 2147483648 AS BIGINT) AS x,
+         CAST(NULL AS DOUBLE) AS w
+  FROM (SELECT unnest(range({n})) AS {idx})
+  UNION ALL
+  SELECT {idx}, i + 1, (x * 1103515245 + 12345) % 2147483648,
+         CAST((x * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483647 * 2.0 - 1.0
+  FROM {alias}_lcg WHERE i < {dim}
+),
+{alias} AS (SELECT {idx}, list(w ORDER BY i) AS v FROM {alias}_lcg WHERE i >= 1 GROUP BY {idx})"""
+
+
+_DUCK_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+
+def _ann_ivf_sql(
+    n_centroids: int = 16, n_probes: int = 4, dim: int = 64, k: int = 3
+) -> str:
+    """DuckDB transcription of similarity.ivf_topk: LCG centroids (offset
+    IVF_CENTROID_BASE=1000), argmax-dot cell per corpus vector (ties to
+    the lowest index — row_number ORDER BY d DESC, c), top-n_probes cells
+    per query, exact cosine re-rank within probed cells."""
+    cos = _DUCK_COS.format(a="b.qv", b="s.cv")
+    return f"""
+WITH RECURSIVE {_lcg_vectors_cte(n_centroids, dim, 1000, "c", "cents")},
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+cd AS (
+  SELECT e.vec_id, e.cv, ct.c, list_dot_product(e.cv, ct.v) AS d
+  FROM corpus e CROSS JOIN cents ct
+),
+cells AS (
+  SELECT vec_id, cv, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rn
+    FROM cd) WHERE rn = 1
+),
+qd AS (
+  SELECT q.vec_id AS query_id, q.qv, ct.c, list_dot_product(q.qv, ct.v) AS d
+  FROM qs q CROSS JOIN cents ct
+),
+qcells AS (
+  SELECT query_id, qv, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, c) AS rn
+    FROM qd) WHERE rn <= {n_probes}
+),
+scored AS (
+  SELECT b.query_id, s.vec_id AS neighbor_id, {cos} AS cosine
+  FROM qcells b JOIN cells s USING (c) WHERE s.vec_id <> b.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+def _neardup_sql(threshold: float = 0.35, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB transcription of similarity.embedding_neardup_pairs: the
+    first n_planes LSH planes (offset 0), sign-bit buckets over ALL
+    vectors, within-bucket self-join, exact cosine >= threshold. The
+    max_bucket cap never triggers at these SFs, so the oracle omits it."""
+    cos = _DUCK_COS.format(a="a.cv", b="b.cv")
+    return f"""
+WITH RECURSIVE {_lcg_vectors_cte(n_planes, dim, 0, "p", "planes")},
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sig AS (
+  SELECT v.vec_id, v.cv,
+         string_agg(CASE WHEN list_dot_product(v.cv, pl.v) >= 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY pl.p) AS bucket
+  FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id, v.cv
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= {threshold}
+"""
+
+
 def _ann_lsh_sql(n_probes: int = 0, n_planes: int = 8, dim: int = 64, k: int = 3) -> str:
     """DuckDB transcription of operators/similarity.py:lsh_bucket_topk —
     the hyperplane LCG (`_hyperplane`) as a recursive CTE (the same way
@@ -398,19 +505,7 @@ probes AS (
         "(sqrt(list_dot_product(b.qv, b.qv)) * sqrt(list_dot_product(s.cv, s.cv))), 4)"
     )
     return f"""
-WITH RECURSIVE lcg AS (
-  -- similarity._hyperplane: x0 = (seed*1000003 + p*7919 + 12345) & 0x7FFFFFFF,
-  -- x <- (x*1103515245 + 12345) & 0x7FFFFFFF, w = x/0x7FFFFFFF*2 - 1
-  SELECT p, 0 AS i,
-         CAST((42 * 1000003 + p * 7919 + 12345) % 2147483648 AS BIGINT) AS x,
-         CAST(NULL AS DOUBLE) AS w
-  FROM (SELECT unnest(range({n_planes})) AS p)
-  UNION ALL
-  SELECT p, i + 1, (x * 1103515245 + 12345) % 2147483648,
-         CAST((x * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483647 * 2.0 - 1.0
-  FROM lcg WHERE i < {dim}
-),
-planes AS (SELECT p, list(w ORDER BY i) AS v FROM lcg WHERE i >= 1 GROUP BY p),
+WITH RECURSIVE {_lcg_vectors_cte(n_planes, dim, 0, "p", "planes")},
 corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
 qs AS (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 csig AS (
@@ -811,6 +906,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = emb.where(F.col("vec_id") >= 5)
         return S.lsh_bucket_topk(corpus, queries_df, k=3, n_probes=3)
 
+    def ann_ivf_top3(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5)
+        return S.ivf_topk(corpus, queries_df, k=3)
+
+    def dedup_embedding_neardup(spark, sf):
+        pairs, _dropped = S.embedding_neardup_pairs(_t(spark, sf, "embeddings"))
+        return pairs
+
     def text_lang_id(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
@@ -1087,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top3": ann_cosine_top3,
         "ann_lsh_top3": ann_lsh_top3,
         "ann_lsh_multiprobe_top3": ann_lsh_multiprobe_top3,
+        "ann_ivf_top3": ann_ivf_top3,
+        "dedup_embedding_neardup": dedup_embedding_neardup,
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
         "text_token_counts": text_token_counts,
@@ -1404,6 +1511,8 @@ FROM kinds WHERE kind = 'image'
         ),
         "ann_lsh_top3": _ann_lsh_sql(n_probes=0),
         "ann_lsh_multiprobe_top3": _ann_lsh_sql(n_probes=3),
+        "ann_ivf_top3": _ann_ivf_sql(),
+        "dedup_embedding_neardup": _neardup_sql(),
         "j4_fuzzy_scores": _string_score_sql(),
         "j5_variant_match": """
 WITH t AS (

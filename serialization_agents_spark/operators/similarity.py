@@ -10,9 +10,17 @@
   BLAS call per batch); the JVM expression path stays available as the
   reference implementation (`corpus_arrow=False`).
 
+- ``ivf_topk``          — IVF-flat: corpus vectors live in exactly ONE
+  argmax-dot centroid cell (narrow map + one hash join); queries probe
+  their best `n_probes` cells. Deterministic LCG centroids by default;
+  ``kmeans_refine`` runs Lloyd iterations as DataFrame aggregations for
+  a real deployment (plan shape unchanged).
+- ``embedding_neardup_pairs`` — the dedup-family face of this module:
+  sign-LSH blocked self-join + exact cosine ≥ threshold, with the same
+  degenerate-bucket cap + drop-accounting as the MinHash pipeline.
+
 At 100 TB / billions of vectors the brute force is only for re-ranking
-within buckets; the LSH variant is the default. A real deployment would
-add IVF centroids (k-means) — the bucketing skeleton is identical.
+within buckets/cells; LSH and IVF are the scale paths.
 """
 
 from __future__ import annotations
@@ -220,6 +228,10 @@ def lsh_bucket_topk(
         # multi-probe: a pair can meet in several probed buckets
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _topk(scored, k)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -229,3 +241,226 @@ def lsh_bucket_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN
+# ---------------------------------------------------------------------------
+IVF_CENTROID_BASE = 1000  # LCG index offset decoupling centroids from LSH planes
+
+
+def ivf_centroids(n_centroids: int, dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic centroids from the same LCG family as the LSH planes
+    (offset so the two never coincide). The driver oracle transcribes the
+    identical recurrence; `kmeans_refine` upgrades these to data-adapted
+    centroids when cross-engine reproducibility is not required."""
+    return [_hyperplane(dim, seed, IVF_CENTROID_BASE + c) for c in range(n_centroids)]
+
+
+def _cell_kernel(centroids: list[list[float]], id_out: str, vec_out: str):
+    """Arrow-batched argmax-dot cell assignment: one BLAS matmul per
+    batch; ties take the LOWEST centroid index (np.argmax first-max)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_out]])
+            cells = (V @ C.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {id_out: pdf[id_out].values, vec_out: pdf[vec_out].values,
+                 "cell": cells}
+            )
+
+    return kernel
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_arrow: bool = True,
+) -> DataFrame:
+    """IVF-flat: each corpus vector is assigned to its single best
+    (argmax dot) centroid cell — a NARROW map (numpy matmul per Arrow
+    batch by default; `corpus_arrow=False` keeps the pure-expression
+    reference path) — and each query probes its `n_probes` best cells.
+    Exact cosine re-ranks inside the probed cells, so one hash join on
+    `cell` is the only shuffle and recall follows the probe count. A
+    corpus row lives in exactly one cell, so no pair-dedup is needed.
+
+    At scale: n_centroids grows ~sqrt(corpus) (cells stay bounded), the
+    centroid table stays a broadcast literal, and cell assignment is
+    still one narrow matmul pass — the standard IVF layout.
+    """
+    cents = ivf_centroids(n_centroids, dim, seed)
+
+    def cell_structs(vec: Column) -> list[Column]:
+        # (-dot, idx) structs: array_min/array_sort give argmax-by-dot
+        # with ties to the LOWEST index — same as np.argmax.
+        return [
+            F.struct(
+                (-_dot(vec, F.array(*[F.lit(float(w)) for w in cv]))).alias("nd"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cv in enumerate(cents)
+        ]
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if corpus_arrow:
+        c = c.mapInPandas(
+            _cell_kernel(cents, "neighbor_id", "cv"),
+            "neighbor_id long, cv array<double>, cell int",
+        )
+    else:
+        c = c.withColumn(
+            "cell", F.array_min(F.array(*cell_structs(F.col("cv"))))["c"]
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(F.array(*cell_structs(F.col("qv")))), 1, n_probes),
+                lambda s: s["c"],
+            )
+        ),
+    )
+
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of IVF centroids as DataFrame aggregations:
+    assign cells (narrow numpy pass), then per-(cell, dim) mean via one
+    posexplode + groupBy — one shuffle of (cells x dim) rows per
+    iteration, never a driver-side loop over vectors. Empty cells keep
+    their previous centroid. Returns driver-side centroid lists (the
+    centroid table is tiny by construction)."""
+    cents = [list(c) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).mapInPandas(
+            _cell_kernel(cents, "neighbor_id", "cv"),
+            "neighbor_id long, cv array<double>, cell int",
+        )
+        means = (
+            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["cell"]][r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup-family member)
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
+    corpus_arrow: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate (id_a, id_b, cosine) pairs: sign-LSH blocking
+    (self-join within buckets, never all-pairs) + exact cosine >=
+    threshold — the embedding-space member of the dedup family, same
+    shape as MinHash-LSH -> n-gram-Jaccard verify.
+
+    Scale: bucket count is 2^n_planes — grow n_planes with the corpus so
+    per-bucket membership stays bounded; degenerate buckets (all-zero or
+    boilerplate embeddings) are dropped over `max_bucket` with the same
+    drop-accounting contract as minhash_candidate_pairs_capped (route
+    the second return into the S15 audit table).
+
+    Returns (pairs, dropped_buckets(bucket, bucket_size)).
+    """
+    planes = [_hyperplane(dim, seed, p) for p in range(n_planes)]
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if corpus_arrow:
+        sigs = v.mapInPandas(
+            _bucket_kernel(planes, "vid", "cv"),
+            "vid long, cv array<double>, bucket string",
+        )
+    else:
+        def dots(vec: Column) -> Column:
+            return F.array(
+                *[_dot(vec, F.array(*[F.lit(float(w)) for w in p])) for p in planes]
+            )
+
+        sigs = v.withColumn(
+            "bucket",
+            F.array_join(
+                F.transform(dots(F.col("cv")), lambda x: F.when(x >= 0, "1").otherwise("0")),
+                "",
+            ),
+        )
+
+    if max_bucket is not None:
+        sizes = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+        dropped = sizes.where(F.col("bucket_size") > max_bucket)
+        from pyspark.sql.functions import broadcast
+
+        sigs = sigs.join(broadcast(dropped.select("bucket")), "bucket", "left_anti")
+    else:
+        dropped = (
+            sigs.select("bucket").limit(0)
+            .withColumn("bucket_size", F.lit(0).cast("long"))
+        )
+
+    a = sigs.select("bucket", F.col("vid").alias("id_a"), F.col("cv").alias("va"))
+    b = sigs.select("bucket", F.col("vid").alias("id_b"), F.col("cv").alias("vb"))
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs, dropped

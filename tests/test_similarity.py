@@ -68,10 +68,9 @@ def test_lsh_arrow_buckets_match_expression_path(spark):
         assert rows(arrow) == rows(expr), f"n_probes={probes}"
 
 
-def test_lsh_multiprobe_recall_dominates_single_probe(spark):
-    """Multi-probe must (a) never return duplicate (query, neighbor)
-    pairs, (b) reach recall >= the single-bucket variant, measured
-    against brute-force ground truth on a deterministic corpus."""
+def _twin_corpus(spark):
+    """24 queries, a planted near-duplicate twin per query, 200 noise
+    vectors — deterministic; twins are the brute-force top-1s."""
     import random
 
     rng = random.Random(11)
@@ -86,6 +85,14 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     for i in range(200):  # background noise
         rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(dim)]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return emb, n_q, dim
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe must (a) never return duplicate (query, neighbor)
+    pairs, (b) reach recall >= the single-bucket variant, measured
+    against brute-force ground truth on a deterministic corpus."""
+    emb, n_q, dim = _twin_corpus(spark)
     q = emb.where("vec_id < 100")
     corpus = emb.where("vec_id >= 100")
 
@@ -107,3 +114,83 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     # must recover strictly more twins than the single bucket alone
     assert r_multi > r_single
     assert r_multi >= 0.9
+
+
+def test_ivf_arrow_matches_expression_path(spark):
+    """IVF cell assignment via the numpy kernel must return exactly the
+    expression path's rows on a real embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    corpus = emb.where("vec_id >= 5")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    arrow = S.ivf_topk(corpus, q, k=3, corpus_arrow=True)
+    expr = S.ivf_topk(corpus, q, k=3, corpus_arrow=False)
+    assert rows(arrow) == rows(expr)
+
+
+def test_ivf_recall_on_planted_twins(spark):
+    """With 4 of 16 cells probed, a query's planted twin (a small
+    perturbation — its cell is almost always among the query's best
+    cells) must surface as rank-1 for most queries."""
+    emb, n_q, dim = _twin_corpus(spark)
+    out = S.ivf_topk(
+        emb.where("vec_id >= 100"), emb.where("vec_id < 100"),
+        k=3, n_centroids=16, n_probes=4, dim=dim,
+    ).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in out]
+    assert len(set(pairs)) == len(pairs)  # one cell per corpus row: no dups
+    hits = {
+        r["query_id"] for r in out
+        if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 100
+    }
+    assert len(hits) / n_q >= 0.75
+
+
+def test_kmeans_refine_reduces_sse(spark):
+    """Lloyd refinement over two tight blobs must cut within-cell SSE."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(5)
+    dim = 8
+    mu_a = [1.0] * dim
+    mu_b = [-1.0] * dim
+    rows = []
+    for i in range(60):
+        mu = mu_a if i % 2 == 0 else mu_b
+        rows.append((i, [m + rng.uniform(-0.1, 0.1) for m in mu]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c0 = S.ivf_centroids(4, dim=dim)
+
+    def sse(cents):
+        C = np.asarray(cents)
+        V = np.asarray([r[1] for r in rows])
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    c1 = S.kmeans_refine(emb, c0, n_iters=2)
+    assert len(c1) == 4 and len(c1[0]) == dim
+    assert sse(c1) < sse(c0) * 0.5
+
+
+def test_embedding_neardup_finds_planted_twins(spark):
+    """The LSH-blocked cosine near-dup pass must surface planted twin
+    pairs above threshold, never duplicate a pair, and respect the
+    threshold on every returned row."""
+    emb, n_q, dim = _twin_corpus(spark)
+    pairs_df, dropped = S.embedding_neardup_pairs(
+        emb, threshold=0.9, n_planes=4, dim=dim
+    )
+    rows = pairs_df.collect()
+    assert dropped.count() == 0
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(set(keys)) == len(keys)
+    assert all(r["cosine"] >= 0.9 for r in rows)
+    twin_hits = {a for a, b in keys if b == a + 100}
+    # sign-LSH at 4 planes keeps ~(1 - theta/pi)^4 of near-identical
+    # pairs in one bucket; twins are ~cos 0.99 so most survive blocking
+    assert len(twin_hits) / n_q >= 0.5
