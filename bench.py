@@ -29,6 +29,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "ann_cosine_top3",
+    "ann_ivf_top3",
+    "dedup_embedding_neardup",
     "text_quality",
     "text_lang_id",
     "j1_broadcast_lookup_join",

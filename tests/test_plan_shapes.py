@@ -1,0 +1,67 @@
+"""Physical-plan guards: the properties that make the engine viable at
+100 TB — predicate pushdown, column pruning, broadcast-only dimension
+joins, single-pass page scanning, Arrow-kernel vector math — asserted on
+the actual executed plans so refactors cannot silently regress them."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """s3: the lang filter reaches the parquet scan and untouched columns
+    (text, embedding-sized payloads) never leave it."""
+    plan = _plan(entry.queries()["s3_scan_project_filter"](spark, SF))
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan.replace("'", "")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema and "source" not in read_schema
+
+
+def test_linking_is_broadcast_only(spark):
+    """kg_linked: every dimension join broadcasts; the fact table is
+    never sort-merge-joined or shuffled by the cascade."""
+    plan = _plan(entry.queries()["kg_linked"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mention_detection_scans_pages_once(spark):
+    """All span kinds ride ONE page scan (a union of per-kind branches
+    would re-read documents.parquet once per kind)."""
+    plan = _plan(entry.queries()["kg_mentions"](spark, SF))
+    n_doc_scans = plan.count("documents.parquet")
+    assert n_doc_scans == 1, f"documents scanned {n_doc_scans}x"
+
+
+def test_lsh_corpus_side_uses_arrow_kernel(spark):
+    """ann_lsh: corpus bucket signatures come from the Arrow/numpy
+    kernel (MapInPandas), not per-row interpreted HOF folds."""
+    plan = _plan(entry.queries()["ann_lsh_top3"](spark, SF))
+    assert "MapInPandas" in plan
+
+
+def test_ivf_corpus_side_uses_arrow_kernel(spark):
+    plan = _plan(entry.queries()["ann_ivf_top3"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_brute_force_cosine_is_broadcast_bounded(spark):
+    """ann_cosine: the only cross join in the repo must be the broadcast
+    nested-loop form (query side broadcast), never a cartesian shuffle."""
+    plan = _plan(entry.queries()["ann_cosine_top3"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
