@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serialization_agents_spark import schemas
 from serialization_agents_spark.operators.extract import with_extracted_text
 from serialization_agents_spark.operators.linking import link_mentions
 from serialization_agents_spark.operators.mentions import detect_mentions
@@ -200,11 +199,9 @@ def stream_pages_to_agents(
     (plans/pipeline.py runs detect_mentions(include_subjects=True)) —
     the batch(all) == fold(batches) contract requires both paths to scan
     the same span kinds."""
-    stream = (
-        spark.readStream.schema(schemas.PAGES)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(pages_dir)
-    )
+    from serialization_agents_spark.sources.pages import read_pages_stream
+
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=16)
 
     def process_batch(batch_pages: DataFrame, batch_id: int) -> None:
         if batch_pages.isEmpty():
