@@ -66,6 +66,13 @@ def main():
                                       "local8": round(best[2], 1)},
         "all_effs": [round(e[0], 3) for e in effs],
     }))
+    # A sustained host cap leaves local[2] clean and crushes local[8]
+    # (burst probe can't see it) -> implausibly low eff. Exit nonzero so
+    # retry loops keep trying instead of accepting a capped measurement.
+    if best[0] < 0.5:
+        print("BEST EFF < 0.5 - host likely core-capped during local[8] "
+              "cells; treat as NOT MEASURED")
+        sys.exit(3)
 
 
 if __name__ == "__main__":
