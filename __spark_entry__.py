@@ -10,6 +10,12 @@ plus the training-data ops (dedup / similarity / text analysis) as
 (spark, sf_dir) -> DataFrame callables; `oracle_sql()` gives the DuckDB
 equivalent for each (omitted only for ops whose float/hash plumbing is
 not SQL-portable — those get the driver's rows-only check).
+
+Known permanent exclusion — S12 (truncate/prepare, plans/pipeline.py
+`mode("overwrite")` per stage): a WRITE MODE is not observable through a
+read-only query result, so S12 has no `queries()` row BY NATURE. Its
+semantics (stage overwrite + resume-skip on `_SUCCESS`) are pinned by
+the resume pytest (tests/test_pipeline.py) instead.
 """
 
 from __future__ import annotations
@@ -1168,6 +1174,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_windowed_metrics(spark, sf):
+        """Streaming surface under the driver gate: the watermarked
+        windowed-metrics plan (streaming/windowed.py) run over the batch
+        kg pages — same plan body either way (its docstring contract);
+        the stream-mode late-drop semantics are pinned by
+        tests/test_streaming_windowed.py. Window bounds exported as
+        epoch SECONDS (integers hash identically cross-engine;
+        timestamps don't)."""
+        from serialization_agents_spark.streaming.windowed import windowed_page_metrics
+
+        m = windowed_page_metrics(_kg_pages(spark, sf), window="10 minutes")
+        return m.select(
+            F.unix_seconds("window_start").alias("window_start_s"),
+            F.unix_seconds("window_end").alias("window_end_s"),
+            "lang", "n_pages",
+            F.col("n_mentions").cast("long").alias("n_mentions"),
+            F.col("n_subjects").cast("long").alias("n_subjects"),
+        )
+
+    def kg_incremental_fold(spark, sf):
+        """Streaming surface under the driver gate: the kg pages split
+        into 3 deterministic batches (doc_id % 3) and folded one at a
+        time into a persisted bucket-partitioned agents table via
+        fold_batch_into_agents — the module's batch(all) == fold(batches)
+        contract (streaming/incremental.py:1-27) means the folded table
+        must hash-match the SAME oracle SQL as kg_agents."""
+        import tempfile
+
+        from serialization_agents_spark.operators.linking import link_mentions
+        from serialization_agents_spark.operators.mentions import detect_mentions
+        from serialization_agents_spark.operators.merge import merge_entities
+        from serialization_agents_spark.streaming.incremental import (
+            fold_batch_into_agents,
+        )
+
+        agents_dir = tempfile.mkdtemp(prefix="kg_fold_") + "/agents"
+        pages = _kg_pages(spark, sf)
+        auth = _kg_authority(spark, sf)
+        red = _kg_redirects(spark, sf)
+        d = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        for b in range(3):
+            mentions = detect_mentions(
+                pages.where(d % 3 == b), include_subjects=True
+            )
+            linked, _dead = link_mentions(mentions, auth, redirects=red)
+            fold_batch_into_agents(spark, agents_dir, merge_entities(linked), b)
+        folded = spark.read.parquet(agents_dir)
+        return folded.select(
+            "entity_key", "name_controlled", "is_controlled", "type",
+            "ulan", "mention_count",
+        )
+
+    def kg_stateful_totals(spark, sf):
+        """Stateful streaming surface under the driver gate — a REAL
+        Structured Streaming execution, not a batch stand-in: the kg
+        pages are written to a temp dir, consumed by an availableNow
+        query whose applyInPandasWithState state carries running
+        per-name mention totals (streaming/stateful.py), snapshots
+        appended per micro-batch. The final totals (max per key — totals
+        are monotone) must equal the batch per-name mention counts,
+        which the DuckDB oracle derives from the same mentions CTE."""
+        import tempfile
+
+        from serialization_agents_spark.streaming.stateful import (
+            stream_running_totals_to_parquet,
+        )
+
+        base = tempfile.mkdtemp(prefix="kg_stateful_")
+        pages_dir, out_dir, ckpt = f"{base}/pages", f"{base}/totals", f"{base}/ckpt"
+        _kg_pages(spark, sf).write.mode("overwrite").parquet(pages_dir)
+        q = stream_running_totals_to_parquet(spark, pages_dir, out_dir, ckpt)
+        q.awaitTermination(600)
+        totals = spark.read.parquet(out_dir)
+        return totals.groupBy("name_norm").agg(F.max("total").alias("total"))
+
     return {
         "s2_minmax_probe": s2_minmax_probe,
         "s3_scan_project_filter": s3_scan_project_filter,
@@ -1217,6 +1298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "kg_enumerate_agents": kg_enumerate_agents,
         "kg_lineage": kg_lineage,
+        "kg_windowed_metrics": kg_windowed_metrics,
+        "kg_incremental_fold": kg_incremental_fold,
+        "kg_stateful_totals": kg_stateful_totals,
     }
 
 
@@ -1597,6 +1681,50 @@ FROM mm
             _KG_SQL_BASE
             + "SELECT entity_key, row_number() OVER (ORDER BY entity_key) + 9999999 AS registry_id "
             "FROM entities"
+        ),
+        # Windowed metrics: per-page span counts mirror _kg_pages' html
+        # emission exactly — s1 always renders; s2 needs ck2 AND a
+        # customer hit (format_string nulls out otherwise); the noise
+        # span is a plain agent span (metrics count spans PRE-blacklist);
+        # the subject span needs ck3 AND name3. Tumbling 10-min windows
+        # on warc_ts = 1704067200 + doc_id.
+        "kg_windowed_metrics": (
+            _KG_SQL_BASE
+            + """,
+perpage AS (
+  SELECT (1704067200 + doc_id) AS ts,
+         1 + CASE WHEN ck2 IS NOT NULL AND name2 IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN noise IS NOT NULL THEN 1 ELSE 0 END AS m,
+         CASE WHEN ck3 IS NOT NULL AND name3 IS NOT NULL THEN 1 ELSE 0 END AS s
+  FROM withnames
+)
+SELECT (ts // 600) * 600 AS window_start_s,
+       (ts // 600) * 600 + 600 AS window_end_s,
+       'en' AS lang,
+       count(*) AS n_pages,
+       CAST(sum(m) AS BIGINT) AS n_mentions,
+       CAST(sum(s) AS BIGINT) AS n_subjects
+FROM perpage GROUP BY 1, 2
+"""
+        ),
+        # The fold maintains the same merged agents table kg_agents
+        # queries in one shot — batch(all) == fold(batches), so the
+        # oracle is KG_AGENTS' SQL verbatim.
+        "kg_incremental_fold": (
+            _KG_SQL_BASE
+            + "SELECT entity_key, name_controlled, is_controlled, type, "
+            "CASE WHEN ck % 4 = 0 THEN ck + 500000000 END AS ulan, "
+            "mention_count FROM entities"
+        ),
+        # Stateful running totals: the stream's per-key GroupState ends at
+        # the total mention count per normalized name — the same mention
+        # rows the base CTE enumerates (noise spans included: totals run
+        # PRE-linking). Synth names are ASCII, so the lower+non-alnum
+        # normalization is the full normalize_name_expr here.
+        "kg_stateful_totals": (
+            _KG_SQL_BASE
+            + "SELECT trim(regexp_replace(lower(name_raw), '[^a-z0-9]+', ' ', 'g')) "
+            "AS name_norm, count(*) AS total FROM mentions GROUP BY 1"
         ),
         "kg_lineage": (
             _KG_SQL_BASE

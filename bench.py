@@ -61,6 +61,14 @@ def run(sf_dir: str, cpus: str) -> dict:
         rows[name] = n
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    # Release the memoized kg pipeline's pinned persists (the unpersist
+    # hook a long-lived host would call between corpora) and verify the
+    # storage is actually gone — exercised here so a refactor can't
+    # silently break the hook.
+    released = entrymod.kg_cache_clear()
+    leaked = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    print(f"# cache_clear released {released} entries, "
+          f"{len(leaked)} RDDs still cached", file=sys.stderr)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

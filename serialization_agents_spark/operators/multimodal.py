@@ -6,20 +6,32 @@ pandas UDFs over ``mapInPandas`` so each task streams record batches
 without materializing whole partitions.
 
 The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are STUBBED: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (derived
-from the bytes' md5) exercises the full Spark-side path — schema,
-batching, partitioning — which is what the tests cover.
+decode kernels are STUBBED by default: with ``fake=True`` a
+deterministic fake decoder (derived from the bytes' md5) exercises the
+full Spark-side path — schema, batching, partitioning — which is what
+the tests cover. The module PROBES for PIL at import: in an environment
+that has it, ``fake=False`` lights up the real image decode/resize
+kernels with no code changes (guarded tests skip when PIL is absent);
+audio/video stay gated on librosa/ffmpeg the same way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # opportunistic codec probe — sandbox default is absent
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, content binary, "
@@ -43,17 +55,33 @@ def _fake_decode(content: bytes, n_features: int = 8) -> tuple[int, int, int, li
     return width, height, 3, feats
 
 
+def _real_decode(content: bytes, n_features: int = 8) -> tuple[int, int, int, list[float]]:
+    """PIL-backed decode (active when the import probe found PIL and the
+    caller passes fake=False): dimensions + a 2x4-grid mean-intensity
+    feature vector — same signature/shape as `_fake_decode`."""
+    img = _PILImage.open(io.BytesIO(content)).convert("RGB")
+    w, h = img.size
+    thumb = img.resize((4, 2))
+    px = list(thumb.getdata())  # 8 RGB tuples, row-major
+    feats = [round(sum(p) / (3 * 255.0), 6) for p in px[:n_features]]
+    return w, h, 3, feats
+
+
 def decode_image_batches(fake: bool = True, batch_limit: int = 1024):
     """Returns a mapInPandas kernel: Iterator[pd.DataFrame] -> Iterator[...].
 
-    Real deployment swaps `_fake_decode` for PIL/torchvision; the
-    signature, batch shape, and output schema stay the same.
+    `fake=False` uses the PIL kernel when the import probe found PIL
+    (undecodable rows degrade to decode_ok=False, never a task failure);
+    without PIL it raises so a misconfigured cluster fails loudly at
+    plan time instead of emitting fake features.
     """
-    if not fake:
+    if not fake and not _HAVE_PIL:
         raise NotImplementedError(
-            "real image decoding requires PIL/torchvision, not present in "
-            "this environment; pass fake=True to exercise the pipeline"
+            "real image decoding requires PIL/torchvision; not present in "
+            "this environment (import probe) — pass fake=True to exercise "
+            "the pipeline with the deterministic stub decoder"
         )
+    decode = _fake_decode if fake else _real_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -63,7 +91,7 @@ def decode_image_batches(fake: bool = True, batch_limit: int = 1024):
                 rows = []
                 for mid, content in zip(chunk["media_id"], chunk["content"]):
                     try:
-                        w, h, c, feats = _fake_decode(bytes(content or b""))
+                        w, h, c, feats = decode(bytes(content or b""))
                         rows.append((mid, w, h, c, feats, True))
                     except Exception:
                         rows.append((mid, None, None, None, None, False))
@@ -173,24 +201,34 @@ def sample_video_frames(
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
 ) -> DataFrame:
-    """Image resize kernel (PIL thumbnail in a real deployment); the fake
-    path emits a digest-derived payload of deterministic size so the
-    Spark-side shape — narrow map, binary out, metadata columns — is real."""
-    if not fake:
+    """Image resize kernel (PIL when the import probe found it and
+    fake=False); the fake path emits a digest-derived payload of
+    deterministic size so the Spark-side shape — narrow map, binary out,
+    metadata columns — is real either way."""
+    if not fake and not _HAVE_PIL:
         raise NotImplementedError(
-            "real resizing requires PIL, not present in this environment; "
-            "pass fake=True to exercise the pipeline"
+            "real resizing requires PIL; not present in this environment "
+            "(import probe) — pass fake=True to exercise the pipeline"
         )
+
+    def _resize_real(content: bytes) -> bytes:
+        img = _PILImage.open(io.BytesIO(content)).convert("RGB")
+        return img.resize((width, height)).tobytes()  # raw RGB, w*h*3 bytes
+
+    def _resize_fake(content: bytes) -> bytes:
+        seed = hashlib.md5(content + f"{width}x{height}".encode()).digest()
+        return (seed * ((width * height) // len(seed) + 1))[: width * height]
+
+    resize = _resize_fake if fake else _resize_real
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                seed = hashlib.md5(
-                    (content or b"") + f"{width}x{height}".encode()
-                ).digest()
-                payload = (seed * ((width * height) // len(seed) + 1))[: width * height]
-                rows.append((mid, width, height, payload))
+                try:
+                    rows.append((mid, width, height, resize(bytes(content or b""))))
+                except Exception:
+                    rows.append((mid, width, height, None))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
 
     images = media.where(F.col("kind") == "image").select("media_id", "content")

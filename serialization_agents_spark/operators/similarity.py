@@ -8,7 +8,10 @@
   query only scans its bucket. One shuffle keyed by bucket signature.
   Corpus-side signatures come from an Arrow-batched numpy matmul (one
   BLAS call per batch); the JVM expression path stays available as the
-  reference implementation (`corpus_arrow=False`).
+  reference implementation (`corpus_arrow=False`). The in-bucket exact
+  re-rank likewise scores candidate pairs in an Arrow kernel
+  (`pair_arrow=True`, _pair_cosine_kernel) — raw cosine from numpy,
+  decimal rounding kept JVM-side for oracle parity.
 
 - ``ivf_topk``          — IVF-flat: corpus vectors live in exactly ONE
   argmax-dot centroid cell (narrow map + one hash join); queries probe
@@ -96,12 +99,35 @@ def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
     return out
 
 
+def _stack_valid(series, dim: int):
+    """(mask, matrix) for an Arrow column of embeddings: rows that are
+    NULL or not exactly `dim` floats are masked out instead of crashing
+    np.stack — one bad row must not kill a 100 TB job (the expression
+    path degrades to a NULL result for such rows; the kernels match by
+    emitting NULL for masked rows, which drops out of every equi-join)."""
+    import numpy as np
+
+    mask = np.array(
+        [v is not None and len(v) == dim for v in series], dtype=bool
+    )
+    if not mask.any():
+        return mask, np.empty((0, dim), dtype=np.float64)
+    V = np.stack(
+        [np.asarray(v, dtype=np.float64) for v, ok in zip(series, mask) if ok]
+    )
+    return mask, V
+
+
 def _bucket_kernel(planes: list[list[float]], id_out: str, vec_out: str):
     """mapInPandas kernel computing LSH bucket signatures with ONE numpy
     matmul per Arrow batch (BLAS dgemm), instead of per-row interpreted
     F.aggregate HOFs x n_planes x dim — the JVM expression path never
     enters codegen and dominates at corpus scale. Vector math is the one
     case where Arrow-batched Python beats interpreted JVM expressions.
+
+    NULL / wrong-length vectors get a NULL bucket (dropped by the
+    downstream equi-join) rather than crashing the stack — matching the
+    garbage-input posture of tests/test_robustness.py.
 
     Sign parity note: summation order differs from the sequential fold
     (BLAS is blocked/SIMD), so a dot within ~1e-15 of 0 could flip
@@ -112,21 +138,91 @@ def _bucket_kernel(planes: list[list[float]], id_out: str, vec_out: str):
     import numpy as np
 
     P = np.asarray(planes, dtype=np.float64)  # (H, dim)
+    dim = P.shape[1]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit = np.array(["0", "1"])
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_out]])
-            D = V @ P.T  # (n, H): one BLAS call per batch
-            sigs = ["".join(r) for r in bit[(D >= 0).astype(np.int8)]]
+            mask, V = _stack_valid(pdf[vec_out], dim)
+            D = V @ P.T  # (n_valid, H): one BLAS call per batch
+            good = ["".join(r) for r in bit[(D >= 0).astype(np.int8)]]
+            it = iter(good)
+            sigs = [next(it) if ok else None for ok in mask]
             yield pd.DataFrame(
                 {id_out: pdf[id_out].values, vec_out: pdf[vec_out].values,
                  "bucket": sigs}
             )
 
     return kernel
+
+
+def _pair_cosine_kernel(a_id: str, b_id: str, a_vec: str, b_vec: str, dim: int):
+    """Arrow-batched exact-cosine scorer for CANDIDATE PAIRS (the
+    in-bucket / in-cell re-rank): row-wise dot + norms as three
+    vectorized numpy ops per batch, replacing an interpreted
+    `F.aggregate(zip_with(...))` per pair x dim — the same HOF trap the
+    round-3 bucket kernels removed, one stage later. Emits the RAW
+    cosine; the caller applies Spark-side `F.round` so decimal rounding
+    stays engine-owned (HALF_UP — numpy rounds half-to-even, never use
+    it for oracle-facing values). Invalid/zero-norm rows yield NULL.
+    """
+    import numpy as np
+
+    def _mask(series):
+        return np.array(
+            [v is not None and len(v) == dim for v in series], dtype=bool
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            both = _mask(pdf[a_vec]) & _mask(pdf[b_vec])
+            out = np.full(len(pdf), np.nan)
+            if both.any():
+                Af = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[a_vec][both]]
+                )
+                Bf = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[b_vec][both]]
+                )
+                denom = np.linalg.norm(Af, axis=1) * np.linalg.norm(Bf, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[both] = np.einsum("ij,ij->i", Af, Bf) / denom
+            cos = pd.Series(out).where(np.isfinite(out), None)
+            yield pd.DataFrame(
+                {a_id: pdf[a_id].values, b_id: pdf[b_id].values, "cosine_raw": cos}
+            )
+
+    return kernel
+
+
+def _score_pairs(
+    joined: DataFrame,
+    a_id: str,
+    b_id: str,
+    a_vec: str,
+    b_vec: str,
+    dim: int,
+    pair_arrow: bool,
+) -> DataFrame:
+    """(a_id, b_id, cosine) for a candidate-pair frame carrying both
+    vectors; `pair_arrow=True` (default) scores via _pair_cosine_kernel,
+    False keeps the pure-expression reference path for oracle parity."""
+    if pair_arrow:
+        scored = joined.select(a_id, b_id, a_vec, b_vec).mapInPandas(
+            _pair_cosine_kernel(a_id, b_id, a_vec, b_vec, dim),
+            f"{a_id} long, {b_id} long, cosine_raw double",
+        )
+        return scored.select(
+            a_id, b_id, F.round(F.col("cosine_raw"), 4).alias("cosine")
+        )
+    return joined.select(
+        a_id, b_id,
+        F.round(cosine(F.col(a_vec), F.col(b_vec)), 4).alias("cosine"),
+    )
 
 
 def lsh_bucket_topk(
@@ -140,6 +236,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_probes: int = 0,
     corpus_arrow: bool = True,
+    pair_arrow: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit signature over n_planes.
     Query and corpus rows meet in a hash join on the bucket key, then
@@ -218,16 +315,11 @@ def lsh_bucket_topk(
     else:
         q = q.withColumn("bucket", base_sig).drop("_d")
 
-    scored = (
-        c.join(q, "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
-        # multi-probe: a pair can meet in several probed buckets
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    cand = c.join(q, "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = _score_pairs(
+        cand, "query_id", "neighbor_id", "qv", "cv", dim, pair_arrow
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    # multi-probe: a pair can meet in several probed buckets -> dedup
     return _topk(scored, k)
 
 
@@ -268,11 +360,13 @@ def _cell_kernel(centroids: list[list[float]], id_out: str, vec_out: str):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_out]])
-            cells = (V @ C.T).argmax(axis=1).astype("int32")
+            mask, V = _stack_valid(pdf[vec_out], C.shape[1])
+            good = (V @ C.T).argmax(axis=1).astype("int32")
+            it = iter(good)
+            cells = [int(next(it)) if ok else None for ok in mask]
             yield pd.DataFrame(
                 {id_out: pdf[id_out].values, vec_out: pdf[vec_out].values,
-                 "cell": cells}
+                 "cell": pd.array(cells, dtype="Int32")}
             )
 
     return kernel
@@ -289,6 +383,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_arrow: bool = True,
+    pair_arrow: bool = True,
 ) -> DataFrame:
     """IVF-flat: each corpus vector is assigned to its single best
     (argmax dot) centroid cell — a NARROW map (numpy matmul per Arrow
@@ -342,13 +437,9 @@ def ivf_topk(
         ),
     )
 
-    scored = (
-        c.join(q, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
+    cand = c.join(q, "cell").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = _score_pairs(
+        cand, "query_id", "neighbor_id", "qv", "cv", dim, pair_arrow
     )
     return _topk(scored, k)
 
@@ -402,6 +493,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     max_bucket: int | None = 4096,
     corpus_arrow: bool = True,
+    pair_arrow: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-duplicate (id_a, id_b, cosine) pairs: sign-LSH blocking
     (self-join within buckets, never all-pairs) + exact cosine >=
@@ -454,13 +546,8 @@ def embedding_neardup_pairs(
 
     a = sigs.select("bucket", F.col("vid").alias("id_a"), F.col("cv").alias("va"))
     b = sigs.select("bucket", F.col("vid").alias("id_b"), F.col("cv").alias("vb"))
-    pairs = (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = _score_pairs(cand, "id_a", "id_b", "va", "vb", dim, pair_arrow).where(
+        F.col("cosine") >= threshold
     )
     return pairs, dropped

@@ -38,6 +38,7 @@ from serialization_agents_spark.operators.mentions import detect_mentions
 from serialization_agents_spark.operators.merge import merge_entities, score_alt_forms
 from serialization_agents_spark.operators.triples import materialize_triples
 from serialization_agents_spark.plans.lineage import stage_metrics
+from serialization_agents_spark.sources.bucketed import read_bucketed, write_bucketed
 
 
 @dataclass
@@ -79,7 +80,18 @@ def run_pipeline(
     out_dir: str | None = None,
     run_id: str = "run0",
     cache: bool = True,
+    agents_table: str | None = None,
 ) -> PipelineResult:
+    """`agents_table` (requires out_dir): persist the agents stage as a
+    catalog table BUCKETED on entity_key (sources/bucketed.py) instead of
+    plain parquet, and hand the catalog-read frame downstream — the
+    canonicalize groupBys and every later entity_key join/aggregation
+    over the agents table then plan with NO shuffle Exchange on the
+    agents side (asserted by tests/test_pipeline.py). At 10^12 entities
+    this removes the dominant network cost of the maintenance jobs; on
+    resume the bucket spec comes from the metastore (in-session here; a
+    real deployment's persistent metastore keeps it across jobs — absent
+    that, resume falls back to the unbucketed parquet read)."""
     resumed: list[str] = []
     computed: list[str] = []
     observations: dict[str, Observation] = {}
@@ -101,14 +113,22 @@ def run_pipeline(
                 return df.persist()
             return df
         path = _stage_path(out_dir, stage)
+        bucketed = stage == "agents" and agents_table is not None
         if _is_complete(out_dir, stage):
             resumed.append(stage)
+            if bucketed and spark.catalog.tableExists(agents_table):
+                return read_bucketed(spark, agents_table)
             return spark.read.parquet(path)
         obs = Observation(f"{run_id}:{stage}")
         df = df.observe(obs, F.count(F.lit(1)).alias("row_count"))
-        df.write.mode("overwrite").parquet(path)
-        observations[stage] = obs  # filled: the write action ran above
-        out = spark.read.parquet(path)
+        if bucketed:
+            write_bucketed(df, agents_table, path, ["entity_key"])
+            observations[stage] = obs
+            out = read_bucketed(spark, agents_table)
+        else:
+            df.write.mode("overwrite").parquet(path)
+            observations[stage] = obs  # filled: the write action ran above
+            out = spark.read.parquet(path)
         stage_metrics(out, run_id, stage, key_col).write.mode("append").parquet(
             os.path.join(out_dir, "_metrics")
         )

@@ -58,15 +58,30 @@ def read_pages(
         if missing:
             raise ValueError(f"pages at {path} missing columns: {missing}")
         return df.select([f.name for f in schemas.PAGES.fields])
+    # html travels base64-encoded in text formats
+    txt_schema = "url string, warc_ts timestamp, html_b64 string, text string, lang string"
     if fmt == "json":
-        # html travels base64-encoded in text formats
-        txt_schema = "url string, warc_ts timestamp, html_b64 string, text string, lang string"
         df = spark.read.schema(txt_schema).json(path)
     elif fmt == "csv":
-        txt_schema = "url string, warc_ts timestamp, html_b64 string, text string, lang string"
-        df = spark.read.schema(txt_schema).option("header", "true").csv(path)
+        # multiLine: page text legitimately embeds newlines inside quotes.
+        # (Costs input-split parallelism — csv is an interchange path, not
+        # the scale path; 100 TB corpora live in parquet.)
+        df = (
+            spark.read.schema(txt_schema)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
     else:
         raise ValueError(f"unknown pages format {fmt!r}; one of {PAGE_FORMATS}")
+    if dates is not None:
+        # crawl_date is a discovered partition column (appended by Spark
+        # beyond the supplied schema) when the layout came from
+        # write_pages_partitioned; prunes at the source listing.
+        if "crawl_date" not in df.columns:
+            raise ValueError(f"pages at {path} are not date-partitioned")
+        df = df.where(F.col("crawl_date").between(*dates))
     return df.select(
         "url", "warc_ts",
         F.unbase64("html_b64").alias("html"),
@@ -82,16 +97,21 @@ def write_pages_partitioned(
     out = pages.withColumn("crawl_date", F.to_date("warc_ts"))
     if fmt == "parquet":
         out.write.mode("overwrite").partitionBy("crawl_date").parquet(path)
-    elif fmt == "json":
-        (
-            out.withColumn("html_b64", F.base64("html"))
-            .drop("html")
-            .write.mode("overwrite")
-            .partitionBy("crawl_date")
-            .json(path)
+    elif fmt in ("json", "csv"):
+        # column order pinned to read_pages' supplied schema — csv maps
+        # columns POSITIONALLY (json by name), so writer and reader must
+        # agree on order, not just names
+        txt = out.withColumn("html_b64", F.base64("html")).select(
+            "url", "warc_ts", "html_b64", "text", "lang", "crawl_date"
         )
+        writer = txt.write.mode("overwrite").partitionBy("crawl_date")
+        if fmt == "json":
+            writer.json(path)
+        else:
+            # escape='"' = standard doubled-quote CSV, matching read_pages
+            writer.option("header", "true").option("escape", '"').csv(path)
     else:
-        raise ValueError(f"unknown pages format {fmt!r}")
+        raise ValueError(f"unknown pages format {fmt!r}; one of {PAGE_FORMATS}")
 
 
 def read_pages_stream(

@@ -136,40 +136,149 @@ _MERGE_SCALAR_COLS = [
 ]
 
 
-def merge_into_sql(target: str, source: str) -> str:
-    """The entire per-batch fold as ONE ANSI `MERGE INTO` (Iceberg/Delta
-    execute this atomically — no marker files, no staging swap; replay
-    safety comes from the sink's idempotent-commit ledger keyed by
-    epoch/batch id). Update expressions are the SAME algebra as
-    incremental_merge_batch: arrays union (capped + sorted), scalars
-    existing-wins-then-backfill, counters add, the controlled name folds
-    through its carried priority rank.
+def matched_update_exprs() -> dict[str, str]:
+    """WHEN-MATCHED update expressions, column -> SQL over aliases t/s.
+
+    Single source of truth shared by `merge_into_sql` (the statement a
+    lakehouse catalog would run) and `simulate_merge` (which EXECUTES the
+    identical expression strings on a full-outer join so the algebra is
+    testable in this catalog-less sandbox).
+
+    Tie-break parity with incremental_merge_batch, which this must equal
+    row-for-row (batch(all) == fold(batches) is the module contract):
+
+    - t (the existing row) folds with `_gen = 0`, so every gen-prefixed
+      scalar argmin degenerates to `coalesce(t.c, s.c)` — existing wins
+      whenever non-null, exactly the reference's existing-beats-new rule
+      (/root/reference/lib/utils.js:307-313);
+    - name_controlled / primary_source fold through min(struct(rank, v)),
+      which at EQUAL rank keeps the lexicographically smaller value — so
+      the CASEs compare the full (rank, value) struct, not rank alone
+      (a strict `<` on rank would keep t at ties, making the MERGE form
+      ingestion-order dependent);
+    - set columns: collect_list ignores NULL arrays, so a NULL side must
+      yield the other side unchanged (both sides are already
+      sorted/distinct/capped by construction) — never concat with NULL,
+      which would wipe the other side;
+    - counters: sum ignores NULLs; both-NULL stays NULL.
     """
-    set_updates = ",\n  ".join(
-        f"{c} = slice(array_sort(array_distinct(concat(t.{c}, s.{c}))), 1, 256)"
-        for c in _MERGE_SET_COLS
-    )
-    scalar_updates = ",\n  ".join(
-        f"{c} = coalesce(t.{c}, s.{c})" for c in _MERGE_SCALAR_COLS
-    )
+    exprs = {
+        "registry_id": "coalesce(t.registry_id, s.registry_id)",
+        "is_controlled": (
+            "CASE WHEN t.is_controlled IS NULL AND s.is_controlled IS NULL"
+            " THEN CAST(NULL AS BOOLEAN)"
+            " ELSE coalesce(t.is_controlled, false) OR coalesce(s.is_controlled, false) END"
+        ),
+        "name_controlled": (
+            "CASE WHEN t.name_controlled IS NULL THEN s.name_controlled"
+            " WHEN s.name_controlled IS NULL THEN t.name_controlled"
+            " WHEN struct(coalesce(s.name_pref_rank, 3), s.name_controlled)"
+            "    < struct(coalesce(t.name_pref_rank, 3), t.name_controlled)"
+            " THEN s.name_controlled ELSE t.name_controlled END"
+        ),
+        "name_pref_rank": (
+            "CASE WHEN t.name_controlled IS NULL AND s.name_controlled IS NULL"
+            " THEN CAST(NULL AS INT)"
+            " WHEN t.name_controlled IS NULL THEN coalesce(s.name_pref_rank, 3)"
+            " WHEN s.name_controlled IS NULL THEN coalesce(t.name_pref_rank, 3)"
+            " ELSE least(coalesce(t.name_pref_rank, 3), coalesce(s.name_pref_rank, 3)) END"
+        ),
+        "primary_source": (
+            "CASE WHEN t.primary_source IS NULL THEN s.primary_source"
+            " WHEN s.primary_source IS NULL THEN t.primary_source"
+            " WHEN struct(s.source_priority, s.primary_source)"
+            "    < struct(t.source_priority, t.primary_source)"
+            " THEN s.primary_source ELSE t.primary_source END"
+        ),
+        "mention_count": (
+            "CASE WHEN t.mention_count IS NULL AND s.mention_count IS NULL"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE coalesce(t.mention_count, 0) + coalesce(s.mention_count, 0) END"
+        ),
+        "source_priority": "least(t.source_priority, s.source_priority)",
+    }
+    for c in _MERGE_SCALAR_COLS:
+        exprs[c] = f"coalesce(t.{c}, s.{c})"
+    for c in _MERGE_SET_COLS:
+        exprs[c] = (
+            f"CASE WHEN t.{c} IS NULL THEN s.{c}"
+            f" WHEN s.{c} IS NULL THEN t.{c}"
+            f" ELSE slice(array_sort(array_distinct(concat(t.{c}, s.{c}))), 1, 256) END"
+        )
+    return exprs
+
+
+def merge_into_sql(target: str, source: str, batch_id: int | None = None) -> str:
+    """The entire per-batch fold as ONE ANSI `MERGE INTO` (Iceberg/Delta
+    execute this atomically — no marker files, no staging swap). Update
+    expressions come from `matched_update_exprs` (identical algebra to
+    incremental_merge_batch; executed + equality-tested by
+    `simulate_merge` since no v2 catalog exists in this sandbox).
+
+    Replay safety: with `batch_id` set, the statement itself is
+    idempotent PER ROW — the target carries a `last_folded_batch` column,
+    matched rows are only updated when their last fold predates this
+    batch, and inserted rows record it. A crash between the MERGE and the
+    ledger INSERT therefore can no longer double-fold mention_count on
+    replay: the replayed MERGE matches every already-folded row and the
+    guard skips it. (Requires the streaming engine to replay the SAME
+    batch content for a given batch id — Structured Streaming's
+    foreachBatch contract.) The `_batch_ledger` companion table remains a
+    whole-batch fast-path short-circuit, not the correctness mechanism.
+    """
+    exprs = matched_update_exprs()
+    guard = ""
+    if batch_id is not None:
+        guard = f" AND coalesce(t.last_folded_batch, -1) < {batch_id}"
+        exprs["last_folded_batch"] = f"{batch_id}"
+    updates = ",\n  ".join(f"{c} = {e}" for c, e in exprs.items())
     return f"""
 MERGE INTO {target} t
 USING {source} s
 ON t.entity_key = s.entity_key
-WHEN MATCHED THEN UPDATE SET
-  registry_id = coalesce(t.registry_id, s.registry_id),
-  is_controlled = t.is_controlled OR s.is_controlled,
-  name_controlled = CASE WHEN coalesce(s.name_pref_rank, 3) < coalesce(t.name_pref_rank, 3)
-                         THEN s.name_controlled ELSE t.name_controlled END,
-  name_pref_rank = least(coalesce(t.name_pref_rank, 3), coalesce(s.name_pref_rank, 3)),
-  primary_source = CASE WHEN s.source_priority < t.source_priority
-                        THEN s.primary_source ELSE t.primary_source END,
-  {scalar_updates},
-  {set_updates},
-  mention_count = t.mention_count + s.mention_count,
-  source_priority = least(t.source_priority, s.source_priority)
+WHEN MATCHED{guard} THEN UPDATE SET
+  {updates}
 WHEN NOT MATCHED THEN INSERT *
 """
+
+
+def simulate_merge(
+    target_df: DataFrame, source_df: DataFrame, batch_id: int | None = None
+) -> DataFrame:
+    """Execute merge_into_sql's algebra without a v2 catalog: full-outer
+    join target/source on entity_key and evaluate the IDENTICAL
+    expression strings from `matched_update_exprs` (plus the batch-id
+    replay guard) per row. Tests assert this equals
+    incremental_merge_batch row-for-row — the strongest execution
+    evidence available in a sandbox where the MERGE keyword itself cannot
+    run (no Iceberg/Delta jar, DuckDB 1.0 predates MERGE).
+    """
+    t = target_df.alias("t")
+    s = source_df.alias("s")
+    joined = t.join(s, F.col("t.entity_key") == F.col("s.entity_key"), "full_outer")
+    exprs = matched_update_exprs()
+    matched = F.col("t.entity_key").isNotNull() & F.col("s.entity_key").isNotNull()
+    guard_ok = (
+        F.lit(True)
+        if batch_id is None
+        else F.coalesce(F.col("t.last_folded_batch"), F.lit(-1)) < F.lit(batch_id)
+    )
+    out = []
+    for c in target_df.columns:
+        if c == "entity_key":
+            out.append(F.coalesce("t.entity_key", "s.entity_key").alias(c))
+            continue
+        if c == "last_folded_batch" and batch_id is not None:
+            upd = F.lit(batch_id)
+        else:
+            upd = F.expr(exprs[c]) if c in exprs else F.col(f"t.{c}")
+        out.append(
+            F.when(matched & guard_ok, upd)
+            .when(F.col("t.entity_key").isNotNull(), F.col(f"t.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+        )
+    return joined.select(*out)
 
 
 class LakehouseAgentsTable(AgentsTable):
@@ -189,10 +298,16 @@ class LakehouseAgentsTable(AgentsTable):
         self.ledger_table = ledger_table or f"{table_name}_batch_ledger"
 
     def fold(self, spark: SparkSession, batch_agents: DataFrame, batch_id: int) -> bool:
+        # Ledger check is a fast-path ONLY: correctness does not depend on
+        # it. The MERGE itself carries a per-row last_folded_batch guard,
+        # so a crash between the MERGE and the ledger INSERT cannot
+        # double-fold on replay — the replayed MERGE no-ops row-by-row.
         if self.last_batch_id_spark(spark) >= batch_id:
             return False
-        batch_agents.createOrReplaceTempView("_batch_agents")
-        spark.sql(merge_into_sql(self.table_name, "_batch_agents"))
+        batch_agents.withColumn(
+            "last_folded_batch", F.lit(batch_id)
+        ).createOrReplaceTempView("_batch_agents")
+        spark.sql(merge_into_sql(self.table_name, "_batch_agents", batch_id=batch_id))
         spark.sql(
             f"INSERT INTO {self.ledger_table} VALUES ({batch_id})"
         )

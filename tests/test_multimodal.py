@@ -33,12 +33,58 @@ def test_image_feature_extraction_schema_and_determinism(spark):
 
 
 def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image_batches(fake=False)
+    """Without codecs, fake=False must fail loudly at plan time (never
+    silently emit fake features). With PIL present the image paths light
+    up instead — covered by test_real_image_decode_with_pil."""
+    from serialization_agents_spark.operators import multimodal as M
+
+    if not M._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image_batches(fake=False)
+        with pytest.raises(NotImplementedError):
+            resize_images(None, fake=False)
+    # audio/video codecs (librosa/ffmpeg) have no probe target here
     with pytest.raises(NotImplementedError):
         sample_video_frames(None, fake=False)
     with pytest.raises(NotImplementedError):
-        resize_images(None, fake=False)
+        extract_audio_features(None, fake=False)
+
+
+def test_real_image_decode_with_pil(spark, tmp_path):
+    """Opportunistic real-codec path (VERDICT round-3 #8): when the
+    import probe finds PIL, fake=False decodes real bytes with the same
+    schema/batching; skipped in codec-less sandboxes."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    img = PIL_Image.new("RGB", (20, 10), color=(255, 0, 0))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, content binary",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    rows = {r["media_id"]: r for r in
+            extract_image_features(media, fake=False).collect()}
+    assert rows[1]["decode_ok"] and (rows[1]["width"], rows[1]["height"]) == (20, 10)
+    assert rows[1]["feature"] == pytest.approx([1 / 3] * 8, abs=0.02)
+    assert not rows[2]["decode_ok"]  # garbage degrades, never crashes
+
+    resized = {r["media_id"]: r for r in
+               resize_images(media, width=4, height=4, fake=False).collect()}
+    assert len(bytes(resized[1]["content"])) == 4 * 4 * 3
+    assert resized[2]["content"] is None
 
 
 def test_audio_features_kind_filter_and_meta_carry(spark):

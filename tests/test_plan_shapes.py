@@ -65,3 +65,24 @@ def test_brute_force_cosine_is_broadcast_bounded(spark):
     plan = _plan(entry.queries()["ann_cosine_top3"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pair_rerank_uses_arrow_kernel(spark):
+    """Round-4: the in-bucket/in-cell exact-cosine re-rank runs in an
+    Arrow kernel too — each ANN plan carries TWO MapInPandas stages
+    (corpus bucketing + pair scoring); a regression to the interpreted
+    per-pair `F.aggregate` fold would drop the second."""
+    for q in ("ann_lsh_top3", "ann_ivf_top3", "dedup_embedding_neardup"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert plan.count("MapInPandas") >= 2, f"{q}: pair re-rank not Arrow"
+
+
+def test_kg_cache_clear_releases_and_rederives(spark):
+    """The unpersist hook must release the memoized kg pipeline and a
+    subsequent query must re-derive cleanly (bench.py also calls this at
+    the end of each run and reports remaining cached RDDs)."""
+    n1 = entry.queries()["kg_agents"](spark, SF).count()
+    assert entry.kg_cache_clear() >= 1
+    n2 = entry.queries()["kg_agents"](spark, SF).count()
+    assert n2 == n1
+    entry.kg_cache_clear()

@@ -194,3 +194,57 @@ def test_embedding_neardup_finds_planted_twins(spark):
     # sign-LSH at 4 planes keeps ~(1 - theta/pi)^4 of near-identical
     # pairs in one bucket; twins are ~cos 0.99 so most survive blocking
     assert len(twin_hits) / n_q >= 0.5
+
+
+def test_pair_arrow_rerank_matches_expression_path(spark):
+    """Round-4: the in-bucket/in-cell exact-cosine re-rank moved into an
+    Arrow kernel (raw dot/norms in numpy, round(4) kept JVM-side). It
+    must return EXACTLY the expression path's rows on real embeddings —
+    pinning that BLAS summation order never crosses a rounding boundary
+    on this data, the precondition for oracle parity."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 8")
+    corpus = emb.where("vec_id >= 8")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    arrow = S.lsh_bucket_topk(corpus, q, k=3, n_probes=2, pair_arrow=True)
+    expr = S.lsh_bucket_topk(corpus, q, k=3, n_probes=2, pair_arrow=False)
+    assert rows(arrow) == rows(expr)
+
+    arrow = S.ivf_topk(corpus, q, k=3, pair_arrow=True)
+    expr = S.ivf_topk(corpus, q, k=3, pair_arrow=False)
+    assert rows(arrow) == rows(expr)
+
+    a_p, _ = S.embedding_neardup_pairs(emb, threshold=0.2, pair_arrow=True)
+    e_p, _ = S.embedding_neardup_pairs(emb, threshold=0.2, pair_arrow=False)
+    assert rows(a_p) == rows(e_p)
+
+
+def test_kernels_tolerate_null_and_ragged_vectors(spark):
+    """ADVICE round-3: a NULL or wrong-length embedding must not kill the
+    job (np.stack would raise) — the kernels route such rows to a NULL
+    bucket/cell, which drops out of every equi-join, mirroring the
+    expression path's NULL degradation."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    good = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(20)]
+    bad = [(100, None), (101, [1.0, 2.0]), (102, [])]
+    emb = spark.createDataFrame(good + bad, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id < 3")
+
+    out = S.lsh_bucket_topk(emb.where("vec_id >= 3"), q, k=3,
+                            n_planes=4, dim=dim).collect()
+    assert {r["neighbor_id"] for r in out}.isdisjoint({100, 101, 102})
+
+    out = S.ivf_topk(emb.where("vec_id >= 3"), q, k=3,
+                     n_centroids=4, n_probes=4, dim=dim).collect()
+    assert {r["neighbor_id"] for r in out}.isdisjoint({100, 101, 102})
+
+    pairs, _ = S.embedding_neardup_pairs(emb, threshold=0.0,
+                                         n_planes=2, dim=dim)
+    ids = {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}
+    assert ids.isdisjoint({100, 101, 102})

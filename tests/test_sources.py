@@ -77,3 +77,22 @@ def test_bucketed_join_and_agg_shuffle_nothing(spark, tmp_path):
     agg = a.groupBy("entity_key").agg(F.sum("v").alias("s"))
     assert "Exchange" not in _plan(agg), "bucketed aggregation shuffled"
     assert agg.count() == 500
+
+
+def test_csv_roundtrip_preserves_bytes_and_prunes(spark, pages, tmp_path):
+    """ADVICE round-3: csv was advertised but had no producer. Round-trip
+    the base64 interchange (html byte-exact, text with embedded newlines
+    survives via multiLine quoting) and prune on the crawl_date
+    partition."""
+    path = str(tmp_path / "pages_csv")
+    # adversarial text: embedded newline, quote, comma (synth text is NULL)
+    hard = pages.withColumn(
+        "text", F.concat(F.lit('line1\nline2 "q", comma\t'), F.col("url"))
+    )
+    write_pages_partitioned(hard, path, fmt="csv")
+    back = read_pages(spark, path, fmt="csv")
+    want = {r["url"]: (bytes(r["html"]), r["text"]) for r in hard.collect()}
+    got = {r["url"]: (bytes(r["html"]), r["text"]) for r in back.collect()}
+    assert got == want
+    pruned = read_pages(spark, path, fmt="csv", dates=("2024-01-01", "2024-01-01"))
+    assert pruned.count() == 60

@@ -138,6 +138,133 @@ def test_merge_into_sql_covers_fold_columns():
     assert "MERGE INTO agents" in sql and "WHEN NOT MATCHED THEN INSERT" in sql
 
 
+def test_simulate_merge_equals_incremental_fold(spark):
+    """The MERGE INTO shim's update expressions, EXECUTED via
+    simulate_merge (full-outer join + the identical expression strings),
+    must reproduce incremental_merge_batch row-for-row on real merged
+    agents — the strongest execution evidence available without a v2
+    catalog."""
+    from serialization_agents_spark.streaming.table_format import simulate_merge
+
+    pages = synth.synth_pages(spark, n_pages=300, n_auth=80)
+    authority = synth.synth_authority(spark, n_auth=80)
+    half1 = pages.where(F.xxhash64("url") % 2 == 0)
+    half2 = pages.where(F.xxhash64("url") % 2 != 0)
+    existing = _agents_for(spark, half1, authority)
+    batch = _agents_for(spark, half2, authority)
+
+    want = {r["entity_key"]: r.asDict() for r in
+            incremental_merge_batch(existing, batch).collect()}
+    got = {r["entity_key"]: r.asDict() for r in
+           simulate_merge(existing, batch).collect()}
+    assert set(want) == set(got)
+    for k, w in want.items():
+        assert got[k] == w, f"{k}: {got[k]} != {w}"
+
+
+def _merge_row(entity_key, **over):
+    """A full agents-schema row (fold-column superset) with overridable
+    fields — the fixture builder for the tie-break tests."""
+    row = {
+        "entity_key": entity_key, "registry_id": None,
+        "is_controlled": True, "name_controlled": None,
+        "name_pref_rank": None, "primary_source": None,
+        "wikidata": None, "lc_id": None, "ulan": None, "dbpedia": None,
+        "birth": None, "death": None, "type": None,
+        "viaf": [], "name_normalized": [], "alt_forms": [], "fast": [],
+        "viaf_merged": [], "merge_source": [],
+        "mention_count": 1, "source_priority": 1,
+    }
+    row.update(over)
+    return row
+
+
+_MERGE_SCHEMA = (
+    "entity_key string, registry_id long, is_controlled boolean, "
+    "name_controlled string, name_pref_rank int, primary_source string, "
+    "wikidata string, lc_id string, ulan long, dbpedia string, "
+    "birth string, death string, type string, "
+    "viaf array<string>, name_normalized array<string>, "
+    "alt_forms array<string>, fast array<long>, viaf_merged array<string>, "
+    "merge_source array<struct<source:string,id:string>>, "
+    "mention_count long, source_priority int"
+)
+
+
+def test_simulate_merge_tie_breaks_and_null_arrays(spark):
+    """ADVICE round-3: at EQUAL rank the fold keeps the lexicographically
+    smaller value (min over (rank, value) structs) — a strict '<' on rank
+    alone would keep the existing side, making the MERGE form
+    ingestion-order dependent; and a NULL set column must not wipe the
+    other side (concat(NULL, x) is NULL). Pinned against
+    incremental_merge_batch on engineered ties, both orders."""
+    from serialization_agents_spark.streaming.table_format import simulate_merge
+
+    t_rows = [
+        # equal name_pref_rank, t holds the LARGER name -> s must win
+        _merge_row("e1", name_controlled="Beta", name_pref_rank=1),
+        # equal source_priority, t holds larger primary_source
+        _merge_row("e2", primary_source="srcB", source_priority=2),
+        # NULL array on the target side
+        _merge_row("e3", viaf=None, name_normalized=["x"]),
+        # target-only row: must pass through untouched (rank explicit —
+        # merge_entities always emits a rank alongside a name; a
+        # NULL-rank-with-name row only the fold would coalesce to 3)
+        _merge_row("e4", name_controlled="Solo", name_pref_rank=3),
+    ]
+    s_rows = [
+        _merge_row("e1", name_controlled="Alpha", name_pref_rank=1),
+        _merge_row("e2", primary_source="srcA", source_priority=2),
+        _merge_row("e3", viaf=["42"], name_normalized=None),
+        # source-only row: the INSERT arm
+        _merge_row("e5", name_controlled="New", name_pref_rank=3),
+    ]
+    t = spark.createDataFrame(t_rows, _MERGE_SCHEMA)
+    s = spark.createDataFrame(s_rows, _MERGE_SCHEMA)
+
+    got = {r["entity_key"]: r.asDict() for r in simulate_merge(t, s).collect()}
+    assert got["e1"]["name_controlled"] == "Alpha"
+    assert got["e2"]["primary_source"] == "srcA"
+    assert got["e3"]["viaf"] == ["42"]
+    assert got["e3"]["name_normalized"] == ["x"]
+    assert got["e4"]["name_controlled"] == "Solo"
+    assert got["e5"]["name_controlled"] == "New"
+
+    # full parity with the fold algebra, in BOTH fold orders
+    for a, b in ((t, s), (s, t)):
+        want = {r["entity_key"]: r.asDict()
+                for r in incremental_merge_batch(a, b).collect()}
+        sim = {r["entity_key"]: r.asDict()
+               for r in simulate_merge(a, b).collect()}
+        for k, w in want.items():
+            assert sim[k] == w, f"{k}: {sim[k]} != {w}"
+
+
+def test_simulate_merge_batch_id_replay_guard(spark):
+    """The exactly-once hole (VERDICT round-3 #3): with batch_id set, the
+    MERGE itself is idempotent per row — replaying an already-folded
+    batch changes nothing, even without the ledger."""
+    from pyspark.sql import functions as SF_
+    from serialization_agents_spark.streaming.table_format import simulate_merge
+
+    t = spark.createDataFrame(
+        [_merge_row("e1", mention_count=5)], _MERGE_SCHEMA
+    ).withColumn("last_folded_batch", SF_.lit(7))
+    s = spark.createDataFrame(
+        [_merge_row("e1", mention_count=3), _merge_row("e2")], _MERGE_SCHEMA
+    ).withColumn("last_folded_batch", SF_.lit(7))
+
+    replay = {r["entity_key"]: r.asDict()
+              for r in simulate_merge(t, s, batch_id=7).collect()}
+    assert replay["e1"]["mention_count"] == 5  # NOT double-folded
+    assert "e2" in replay  # inserts are naturally idempotent (same row)
+
+    fresh = {r["entity_key"]: r.asDict()
+             for r in simulate_merge(t, s, batch_id=8).collect()}
+    assert fresh["e1"]["mention_count"] == 8
+    assert fresh["e1"]["last_folded_batch"] == 8
+
+
 def test_stream_drains_directory(spark, tmp_path):
     pages = synth.synth_pages(spark, n_pages=200, n_auth=50)
     authority = synth.synth_authority(spark, n_auth=50)
