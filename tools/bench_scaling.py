@@ -59,11 +59,11 @@ print(json.dumps({
 """
 
 
-def run_at(cores: int, n_pages: int) -> dict:
+def run_at(cores: int, n_pages: int, timeout: float = 3600) -> dict:
     env = dict(os.environ, BENCH_CORES=str(cores), BENCH_PAGES=str(n_pages))
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True,
-        timeout=3600,
+        timeout=timeout,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:

@@ -116,11 +116,24 @@ def run_rep(rep: int, small: int, big: int, use_expect: bool) -> dict | None:
     """One interleaved 4-cell rep. Returns cell dict or None if a cell
     tripped the cap detector (rep abandoned early)."""
     cell = {}
-    # local[8]@small FIRST: it is both the cheapest cell and the one the
-    # (per-process, multithread-targeted) host cap crushes — a capped rep
-    # aborts after ~1 min instead of after the local[2] cells.
-    for cores, pages in ((8, small), (2, small), (2, big), (8, big)):
-        r = run_at(cores, pages)
+    # BOTH local[8] cells first: they are the only cap-vulnerable cells
+    # (local[2] landed on-curve in every attempt across rounds 3-4, even
+    # mid-wave), so they run in the first ~3 min after a passing JVM
+    # probe — the tightest window this host offers — with the small cell
+    # as a ~35 s canary. The cap-immune local[2] cells run last, where a
+    # wave cannot hurt them.
+    for cores, pages in ((8, small), (8, big), (2, small), (2, big)):
+        clean_est = CLEAN_WALL.get((cores, pages))
+        # kill a capped cell at its abort threshold instead of letting it
+        # limp to completion (capped cells run 4-10x clean): ~120 s covers
+        # JVM startup + synth, which wall_sec excludes
+        budget = 120 + CAP_FACTOR * clean_est if (use_expect and clean_est) else 3600
+        try:
+            r = run_at(cores, pages, timeout=budget)
+        except Exception:
+            print(f"rep{rep} ABORT: local[{cores}] {pages} exceeded its "
+                  f"{budget:.0f}s budget - host capped mid-rep", flush=True)
+            return None
         wall = r["wall_sec"]
         cell[(cores, pages)] = wall
         print(f"rep{rep} local[{cores}] {pages}: {wall}s "
