@@ -25,7 +25,12 @@ from serialization_agents_spark import synth
 from serialization_agents_spark.plans.pipeline import run_pipeline
 
 cores = int(os.environ["BENCH_CORES"])
-n_pages = int(os.environ["BENCH_PAGES"])
+# BENCH_PAGES_LIST runs several corpus sizes in ONE JVM (one startup, one
+# warmup; both cells of a marginal pair share identical JIT state, so
+# their difference is cleaner); BENCH_PAGES keeps the one-cell contract.
+sizes = [int(s) for s in os.environ.get(
+    "BENCH_PAGES_LIST", os.environ.get("BENCH_PAGES", "200000")
+).split(",")]
 spark = get_spark(
     app_name=f"scaling-{cores}",
     master=f"local[{cores}]",
@@ -35,32 +40,39 @@ spark = get_spark(
 spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
 
 html_kb = int(os.environ.get("BENCH_HTML_KB", "30"))
-pages = synth.synth_pages(
-    spark, n_pages=n_pages, n_auth=2000,
-    partitions=max(cores * 3, 16),  # bound per-partition bytes at low core counts
-    html_kb=html_kb,
-)
-authority = synth.synth_authority(spark, n_auth=2000)
-redirects = synth.synth_redirects(spark)
-blacklist = synth.synth_blacklist(spark)
+for n_pages in sizes:
+    pages = synth.synth_pages(
+        spark, n_pages=n_pages, n_auth=2000,
+        partitions=max(cores * 3, 16),  # bound per-partition bytes at low core counts
+        html_kb=html_kb,
+    )
+    authority = synth.synth_authority(spark, n_auth=2000)
+    redirects = synth.synth_redirects(spark)
+    blacklist = synth.synth_blacklist(spark)
 
-t0 = time.time()
-res = run_pipeline(spark, pages, authority, redirects, blacklist)
-n_triples = res.triples.count()
-wall = time.time() - t0
-n_entities = res.canonical.count()
-print(json.dumps({
-    "cores": cores, "n_pages": n_pages, "wall_sec": round(wall, 2),
-    "docs_per_sec": round(n_pages / wall, 1),
-    "triples_per_sec": round(n_triples / wall, 1),
-    "n_triples": n_triples, "n_entities": n_entities,
-    "cc_iterations": res.cc_iterations,
-}))
+    t0 = time.time()
+    res = run_pipeline(spark, pages, authority, redirects, blacklist)
+    n_triples = res.triples.count()
+    wall = time.time() - t0
+    n_entities = res.canonical.count()
+    print(json.dumps({
+        "cores": cores, "n_pages": n_pages, "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_pages / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "n_triples": n_triples, "n_entities": n_entities,
+        "cc_iterations": res.cc_iterations,
+    }), flush=True)
+    for df in (res.linked, res.canonical):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 """
 
 
 def run_at(cores: int, n_pages: int, timeout: float = 3600) -> dict:
     env = dict(os.environ, BENCH_CORES=str(cores), BENCH_PAGES=str(n_pages))
+    env.pop("BENCH_PAGES_LIST", None)
     out = subprocess.run(
         [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True,
         timeout=timeout,
@@ -71,6 +83,23 @@ def run_at(cores: int, n_pages: int, timeout: float = 3600) -> dict:
         print(out.stderr[-4000:], file=sys.stderr)
         raise RuntimeError(f"worker at {cores} cores produced no JSON")
     return json.loads(lines[-1])
+
+
+def run_pair(cores: int, sizes: list[int], timeout: float = 3600) -> list[dict]:
+    """Run several corpus sizes in ONE JVM (see BENCH_PAGES_LIST in the
+    worker). On timeout, returns whatever cells completed (caller treats
+    a short list as a capped/aborted pair)."""
+    env = dict(os.environ, BENCH_CORES=str(cores),
+               BENCH_PAGES_LIST=",".join(str(s) for s in sizes))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", WORKER], env=env, capture_output=True,
+            text=True, timeout=timeout,
+        )
+        stdout = out.stdout
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+    return [json.loads(l) for l in stdout.strip().splitlines() if l.startswith("{")]
 
 
 def _burn(_):

@@ -37,7 +37,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from tools.bench_scaling import run_at  # noqa: E402
+from tools.bench_scaling import run_at, run_pair  # noqa: E402, F401
 
 # Known clean walls for the round-3 corpus (BENCH/BASELINE.md section 6).
 CLEAN_WALL = {(2, 300_000): 70.0, (8, 300_000): 44.0,
@@ -113,41 +113,39 @@ def jvm_is_calm(min_speedup: float = 1.8) -> tuple[bool, float, float]:
 
 
 def run_rep(rep: int, small: int, big: int, use_expect: bool) -> dict | None:
-    """One interleaved 4-cell rep. Returns cell dict or None if a cell
-    tripped the cap detector (rep abandoned early)."""
+    """One rep = two size-PAIRS, each pair in ONE JVM (one startup, shared
+    JIT — the cells of a marginal difference could not be more
+    comparable). The cap-vulnerable local[8] pair runs FIRST, big cell
+    first, so the expensive vulnerable cell starts seconds after the
+    probe passed; the cap-immune local[2] pair (on-curve in every
+    observed wave across rounds 3-4) runs last. Returns the cell dict or
+    None if any cell blew 1.6x its clean wall (pair killed at its time
+    budget rather than run to completion)."""
     cell = {}
-    # BOTH local[8] cells first: they are the only cap-vulnerable cells
-    # (local[2] landed on-curve in every attempt across rounds 3-4, even
-    # mid-wave), so they run in the first ~3 min after a passing JVM
-    # probe — the tightest window this host offers — with the small cell
-    # as a ~35 s canary. The cap-immune local[2] cells run last, where a
-    # wave cannot hurt them.
-    for cores, pages in ((8, small), (8, big), (2, small), (2, big)):
-        clean_est = CLEAN_WALL.get((cores, pages))
-        # kill a capped cell at its abort threshold instead of letting it
-        # limp to completion (capped cells run 4-10x clean): ~120 s covers
-        # JVM startup + synth, which wall_sec excludes
-        budget = 120 + CAP_FACTOR * clean_est if (use_expect and clean_est) else 3600
-        try:
-            r = run_at(cores, pages, timeout=budget)
-        except Exception:
-            print(f"rep{rep} ABORT: local[{cores}] {pages} exceeded its "
+    for cores in (8, 2):
+        sizes = [big, small]
+        budget = (
+            150 + CAP_FACTOR * sum(CLEAN_WALL.get((cores, p), 600) for p in sizes)
+            if use_expect
+            else 3600
+        )
+        results = run_pair(cores, sizes, timeout=budget)
+        for r in results:
+            wall, pages = r["wall_sec"], r["n_pages"]
+            cell[(cores, pages)] = wall
+            print(f"rep{rep} local[{cores}] {pages}: {wall}s "
+                  f"({r['triples_per_sec']} triples/s, {r['n_triples']} triples)",
+                  flush=True)
+        if len(results) < len(sizes):
+            print(f"rep{rep} ABORT: local[{cores}] pair incomplete within "
                   f"{budget:.0f}s budget - host capped mid-rep", flush=True)
             return None
-        wall = r["wall_sec"]
-        cell[(cores, pages)] = wall
-        print(f"rep{rep} local[{cores}] {pages}: {wall}s "
-              f"({r['triples_per_sec']} triples/s, {r['n_triples']} triples)",
-              flush=True)
-        clean = CLEAN_WALL.get((cores, pages))
-        if use_expect and clean and wall > clean * CAP_FACTOR:
-            print(f"rep{rep} ABORT: cell {wall}s > {CAP_FACTOR}x clean "
-                  f"{clean}s - host capped mid-rep", flush=True)
-            return None
-        if cores == 8 and (2, pages) in cell and wall >= cell[(2, pages)]:
-            print(f"rep{rep} ABORT: local[8] ({wall}s) not faster than "
-                  f"local[2] ({cell[(2, pages)]}s) - cap signature", flush=True)
-            return None
+        for r in results:
+            clean = CLEAN_WALL.get((cores, r["n_pages"]))
+            if use_expect and clean and r["wall_sec"] > clean * CAP_FACTOR:
+                print(f"rep{rep} ABORT: cell {r['wall_sec']}s > {CAP_FACTOR}x "
+                      f"clean {clean}s - host capped mid-rep", flush=True)
+                return None
     return cell
 
 
