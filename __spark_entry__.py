@@ -140,7 +140,10 @@ def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         F.format_string("https://example.org/doc/%d", d).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+        # 37 s spacing spreads sf0.01's 500 docs over ~31 tumbling 10-min
+        # windows so kg_windowed_metrics certifies the window GROUP BY
+        # across many buckets (1 s spacing kept every page in one window).
+        F.timestamp_seconds(F.lit(1704067200) + d * 37).alias("warc_ts"),
         html.cast("binary").alias("html"),
         F.lit(None).cast("string").alias("text"),
         F.lit("en").alias("lang"),
@@ -1243,9 +1246,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         base = tempfile.mkdtemp(prefix="kg_stateful_")
         pages_dir, out_dir, ckpt = f"{base}/pages", f"{base}/totals", f"{base}/ckpt"
-        _kg_pages(spark, sf).write.mode("overwrite").parquet(pages_dir)
-        q = stream_running_totals_to_parquet(spark, pages_dir, out_dir, ckpt)
-        q.awaitTermination(600)
+        # Keep the driver wall-time of this REAL streaming query small:
+        # 4 input files consumed 2-per-trigger = exactly 2 micro-batches
+        # (cross-batch state still exercised), and a narrow state-store
+        # width for the throwaway checkpoint (shuffle.partitions is read
+        # at query START and pinned into the checkpoint; restored after).
+        _kg_pages(spark, sf).coalesce(4).write.mode("overwrite").parquet(pages_dir)
+        conf_key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "4")
+        try:
+            q = stream_running_totals_to_parquet(
+                spark, pages_dir, out_dir, ckpt, max_files_per_trigger=2
+            )
+        finally:
+            spark.conf.set(conf_key, prev)
+        finished = q.awaitTermination(600)
+        if not finished or q.exception() is not None:
+            q.stop()
+            raise RuntimeError(
+                f"kg_stateful_totals streaming query did not finish cleanly: "
+                f"timed_out={not finished} exception={q.exception()}"
+            )
         totals = spark.read.parquet(out_dir)
         return totals.groupBy("name_norm").agg(F.max("total").alias("total"))
 
@@ -1687,12 +1709,13 @@ FROM mm
         # customer hit (format_string nulls out otherwise); the noise
         # span is a plain agent span (metrics count spans PRE-blacklist);
         # the subject span needs ck3 AND name3. Tumbling 10-min windows
-        # on warc_ts = 1704067200 + doc_id.
+        # on warc_ts = 1704067200 + doc_id * 37 (37 s spacing -> ~31
+        # windows at sf0.01, so the GROUP BY is exercised across buckets).
         "kg_windowed_metrics": (
             _KG_SQL_BASE
             + """,
 perpage AS (
-  SELECT (1704067200 + doc_id) AS ts,
+  SELECT (1704067200 + doc_id * 37) AS ts,
          1 + CASE WHEN ck2 IS NOT NULL AND name2 IS NOT NULL THEN 1 ELSE 0 END
            + CASE WHEN noise IS NOT NULL THEN 1 ELSE 0 END AS m,
          CASE WHEN ck3 IS NOT NULL AND name3 IS NOT NULL THEN 1 ELSE 0 END AS s

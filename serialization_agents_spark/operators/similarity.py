@@ -99,6 +99,17 @@ def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
     return out
 
 
+def _guard_dim(vec: Column, dim: int, assigned: Column) -> Column:
+    """NULL-parity guard for the EXPRESSION bucket/cell paths: a NULL or
+    wrong-length vector gets a NULL assignment (dropping out of the
+    downstream equi-join), exactly like the Arrow kernels' masked rows.
+    Without it, a NULL dot walks through `when(x >= 0, '1').otherwise('0')`
+    to bit '0' and malformed rows pool in the all-zeros bucket.
+    (`F.size` is -1 or NULL for NULL arrays depending on ANSI mode —
+    both fail the == dim test, so the guard holds either way.)"""
+    return F.when(F.size(vec) == dim, assigned)
+
+
 def _stack_valid(series, dim: int):
     """(mask, matrix) for an Arrow column of embeddings: rows that are
     NULL or not exactly `dim` floats are masked out instead of crashing
@@ -278,7 +289,10 @@ def lsh_bucket_topk(
             "neighbor_id long, cv array<double>, bucket string",
         )
     else:
-        c = c.withColumn("bucket", sig_from_dots(dots(F.col("cv"))))
+        c = c.withColumn(
+            "bucket",
+            _guard_dim(F.col("cv"), dim, sig_from_dots(dots(F.col("cv")))),
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -421,7 +435,10 @@ def ivf_topk(
         )
     else:
         c = c.withColumn(
-            "cell", F.array_min(F.array(*cell_structs(F.col("cv"))))["c"]
+            "cell",
+            _guard_dim(
+                F.col("cv"), dim, F.array_min(F.array(*cell_structs(F.col("cv"))))["c"]
+            ),
         )
 
     q = queries.select(
@@ -526,9 +543,16 @@ def embedding_neardup_pairs(
 
         sigs = v.withColumn(
             "bucket",
-            F.array_join(
-                F.transform(dots(F.col("cv")), lambda x: F.when(x >= 0, "1").otherwise("0")),
-                "",
+            _guard_dim(
+                F.col("cv"),
+                dim,
+                F.array_join(
+                    F.transform(
+                        dots(F.col("cv")),
+                        lambda x: F.when(x >= 0, "1").otherwise("0"),
+                    ),
+                    "",
+                ),
             ),
         )
 

@@ -92,6 +92,12 @@ def run_pipeline(
     resume the bucket spec comes from the metastore (in-session here; a
     real deployment's persistent metastore keeps it across jobs — absent
     that, resume falls back to the unbucketed parquet read)."""
+    if agents_table is not None and out_dir is None:
+        raise ValueError(
+            "agents_table requires out_dir: the bucketed catalog table is "
+            "written alongside the stage parquet, so without out_dir the "
+            "request would be silently ignored"
+        )
     resumed: list[str] = []
     computed: list[str] = []
     observations: dict[str, Observation] = {}

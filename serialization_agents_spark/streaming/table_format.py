@@ -304,6 +304,18 @@ class LakehouseAgentsTable(AgentsTable):
         # double-fold on replay — the replayed MERGE no-ops row-by-row.
         if self.last_batch_id_spark(spark) >= batch_id:
             return False
+        # The MERGE's replay guard references t.last_folded_batch; a
+        # target created before that column existed would fail every
+        # fold with an opaque analysis error — fail loudly with the
+        # migration statement instead (no ALTER here: schema evolution
+        # is a catalog-owned, reviewed operation at 10^12 rows).
+        if "last_folded_batch" not in spark.table(self.table_name).columns:
+            raise ValueError(
+                f"target {self.table_name} lacks the last_folded_batch "
+                "column required by fold's idempotent MERGE; migrate with "
+                f"ALTER TABLE {self.table_name} ADD COLUMN "
+                "last_folded_batch BIGINT before folding"
+            )
         batch_agents.withColumn(
             "last_folded_batch", F.lit(batch_id)
         ).createOrReplaceTempView("_batch_agents")

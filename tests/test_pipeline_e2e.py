@@ -144,6 +144,19 @@ def test_resume_from_checkpoint(spark, corpus, tmp_path):
     assert got == want
 
 
+def test_agents_table_without_out_dir_raises(spark, corpus):
+    """ADVICE round-4: agents_table with out_dir=None was silently
+    ignored (materialize returns early) — must fail loudly instead."""
+    import pytest
+
+    pages, authority, redirects, blacklist = corpus
+    with pytest.raises(ValueError, match="agents_table requires out_dir"):
+        run_pipeline(
+            spark, pages, authority, redirects, blacklist,
+            agents_table="t_orphan",
+        )
+
+
 def test_bucketed_agents_stage_joins_without_exchange(spark, corpus, tmp_path):
     """VERDICT round-3 #5: with `agents_table` set, the agents stage is
     persisted BUCKETED on entity_key and handed downstream through the

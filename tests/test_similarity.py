@@ -236,15 +236,22 @@ def test_kernels_tolerate_null_and_ragged_vectors(spark):
     emb = spark.createDataFrame(good + bad, "vec_id long, embedding array<double>")
     q = emb.where("vec_id < 3")
 
-    out = S.lsh_bucket_topk(emb.where("vec_id >= 3"), q, k=3,
-                            n_planes=4, dim=dim).collect()
-    assert {r["neighbor_id"] for r in out}.isdisjoint({100, 101, 102})
+    # Both corpus paths must agree on the NULL posture (ADVICE round-4:
+    # without _guard_dim the expression path pooled malformed rows in
+    # the all-zeros bucket instead of a NULL drop).
+    for corpus_arrow in (True, False):
+        out = S.lsh_bucket_topk(emb.where("vec_id >= 3"), q, k=3,
+                                n_planes=4, dim=dim,
+                                corpus_arrow=corpus_arrow).collect()
+        assert {r["neighbor_id"] for r in out}.isdisjoint({100, 101, 102})
 
-    out = S.ivf_topk(emb.where("vec_id >= 3"), q, k=3,
-                     n_centroids=4, n_probes=4, dim=dim).collect()
-    assert {r["neighbor_id"] for r in out}.isdisjoint({100, 101, 102})
+        out = S.ivf_topk(emb.where("vec_id >= 3"), q, k=3,
+                         n_centroids=4, n_probes=4, dim=dim,
+                         corpus_arrow=corpus_arrow).collect()
+        assert {r["neighbor_id"] for r in out}.isdisjoint({100, 101, 102})
 
-    pairs, _ = S.embedding_neardup_pairs(emb, threshold=0.0,
-                                         n_planes=2, dim=dim)
-    ids = {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}
-    assert ids.isdisjoint({100, 101, 102})
+        pairs, _ = S.embedding_neardup_pairs(emb, threshold=0.0,
+                                             n_planes=2, dim=dim,
+                                             corpus_arrow=corpus_arrow)
+        ids = {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}
+        assert ids.isdisjoint({100, 101, 102})

@@ -138,6 +138,50 @@ def test_merge_into_sql_covers_fold_columns():
     assert "MERGE INTO agents" in sql and "WHEN NOT MATCHED THEN INSERT" in sql
 
 
+def test_merge_into_sql_parses_as_merge_plan(spark):
+    """Statement-shape gate: Spark's own SQL parser must accept
+    merge_into_sql's text as a MergeIntoTable logical plan (the parser
+    needs no catalog, so this runs offline where no Iceberg/Delta jar
+    resolves) — a syntax slip in the generated MERGE can no longer hide
+    behind simulate_merge, which executes the algebra but never the
+    statement. Also pins that a broken statement DOES raise, so the
+    positive assertion isn't vacuous."""
+    from serialization_agents_spark.streaming.table_format import merge_into_sql
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for batch_id in (None, 7):
+        sql = merge_into_sql("agents_tbl", "batch_view", batch_id=batch_id)
+        plan = parser.parsePlan(sql)
+        assert plan.nodeName() == "MergeIntoTable", plan.nodeName()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PARSE_SYNTAX_ERROR|ParseException"):
+        parser.parsePlan("MERGE INTO t USING s ON WHEN MATCHED")
+
+
+def test_lakehouse_fold_rejects_unmigrated_target(spark):
+    """ADVICE round-4: a target table created before the replay-guard
+    column existed must fail fold() with the migration statement, not an
+    opaque MERGE analysis error."""
+    import pytest
+
+    from serialization_agents_spark.streaming.table_format import (
+        LakehouseAgentsTable,
+    )
+
+    spark.createDataFrame(
+        [], "entity_key string, mention_count long"
+    ).createOrReplaceTempView("t_legacy_agents")
+    spark.createDataFrame([], "batch_id long").createOrReplaceTempView(
+        "t_legacy_ledger"
+    )
+    t = LakehouseAgentsTable("t_legacy_agents", ledger_table="t_legacy_ledger")
+    batch = spark.createDataFrame([], "entity_key string, mention_count long")
+    with pytest.raises(ValueError, match="last_folded_batch"):
+        t.fold(spark, batch, batch_id=0)
+
+
 def test_simulate_merge_equals_incremental_fold(spark):
     """The MERGE INTO shim's update expressions, EXECUTED via
     simulate_merge (full-outer join + the identical expression strings),
