@@ -249,12 +249,26 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
     return linked, agents, canonical
 
 
-def kg_cache_clear(sf_dir: str | None = None) -> int:
+def kg_cache_clear(
+    sf_dir: str | None = None, wait_cleanup_s: float = 0.0
+) -> int:
     """Release the memoized kg pipeline's persisted frames (all entries,
     or just one sf_dir's). The bench/driver processes are short-lived so
     the cache can stay pinned there, but a long-lived session embedding
     queries() should call this between corpora to avoid leaking executor
-    storage. Returns the number of entries released."""
+    storage. Returns the number of entries released.
+
+    `.unpersist()` covers the two explicit persists; the pipeline's
+    `localCheckpoint` blocks (CC loop, enumerate offsets, block-argmax
+    dimension) are pinned by RDD references, not the CacheManager, and
+    are NOT unpersisted directly — doing so would corrupt any
+    still-referenced frame, because a local checkpoint truncates lineage
+    (the blocks are the only copy). They are instead released by Spark's
+    ContextCleaner once unreachable: with `wait_cleanup_s` > 0 this
+    drops the Python references, forces a GC on both sides, and polls
+    storage until the checkpoint blocks are gone (or the deadline
+    passes). Returns even if blocks remain — callers that require a
+    clean storage state assert on it (bench.py does)."""
     released = 0
     for key in list(_KG_CACHE):
         if sf_dir is not None and key[1] != sf_dir:
@@ -264,6 +278,26 @@ def kg_cache_clear(sf_dir: str | None = None) -> int:
         canonical.unpersist()
         _KG_N.pop(key, None)
         released += 1
+    if wait_cleanup_s > 0:
+        import gc
+        import time
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            if released:
+                del linked, _agents, canonical  # drop the loop's refs
+            gc.collect()  # release py4j handles -> JVM refs unreachable
+            jsc = spark.sparkContext._jsc.sc()
+            deadline = time.time() + wait_cleanup_s
+            while time.time() < deadline:
+                # ContextCleaner's thread drains the reference queue the
+                # JVM GC populates; nudge the GC until storage is empty.
+                spark.sparkContext._jvm.System.gc()
+                if len(jsc.getRDDStorageInfo()) == 0:
+                    break
+                time.sleep(0.25)
     return released
 
 
@@ -890,6 +924,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_pairs(spark, sf):
         return D.minhash_candidate_pairs(_t(spark, sf, "documents"))
 
+    def dedup_minhash_pairs_prod(spark, sf):
+        """The PRODUCTION hash configuration (hash_fn='xxhash64': one
+        64-bit JVM hash per shingle vs 16 md5 string transforms — the
+        setting a 100 TB run uses, ~4x cheaper per shingle). md5 remains
+        the cross-engine-replayable default certified by
+        dedup_minhash_pairs' DuckDB oracle; this variant has no SQL
+        oracle (DuckDB lacks xxhash64) so the driver records the weaker
+        rows-only check, and bench.py reports THIS path as the headline
+        so the published number reflects the scale configuration."""
+        return D.minhash_candidate_pairs(
+            _t(spark, sf, "documents"), hash_fn="xxhash64"
+        )
+
     def dedup_ngram_jaccard(spark, sf):
         pairs = D.ngram_jaccard_pairs(_t(spark, sf, "documents"))
         return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -1108,6 +1155,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ulan", "mention_count",
         )
 
+    def kg_agents_bucketed(spark, sf):
+        """The SAME agents surface as kg_agents, but produced through the
+        flagship plan runner with `agents_table=` set (VERDICT r4 #5): the
+        agents stage is persisted as a catalog table BUCKETED on
+        entity_key (sources/bucketed.py) and handed downstream through
+        the catalog, so every later entity_key join/aggregation plans
+        with no shuffle Exchange on the agents side — the 10^12-entity
+        maintenance-join layout, now exercised in the driver flow, not
+        only in tests. Hash-certified against kg_agents' oracle: the
+        bucketed layout must be a pure physical choice with zero effect
+        on results."""
+        import tempfile
+
+        from serialization_agents_spark.plans.pipeline import run_pipeline
+
+        out = tempfile.mkdtemp(prefix="kg_bucketed_") + "/run"
+        res = run_pipeline(
+            spark,
+            _kg_pages(spark, sf),
+            _kg_authority(spark, sf),
+            redirects=_kg_redirects(spark, sf),
+            out_dir=out,
+            agents_table="kg_agents_bucketed_stage",
+        )
+        return res.agents.select(
+            "entity_key", "name_controlled", "is_controlled", "type",
+            "ulan", "mention_count",
+        )
+
     def kg_alt_forms(spark, sf):
         """X2/X3 under the hash gate: the scored altForms the reference
         stores on every agent (poverlap at lib/utils_shadowcat.js:247,
@@ -1290,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_minhash_pairs_prod": dedup_minhash_pairs_prod,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
         "ann_cosine_top3": ann_cosine_top3,
@@ -1316,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_error_log": s15_error_log,
         "kg_linked": kg_linked,
         "kg_agents": kg_agents,
+        "kg_agents_bucketed": kg_agents_bucketed,
         "kg_alt_forms": kg_alt_forms,
         "kg_triples": kg_triples,
         "kg_enumerate_agents": kg_enumerate_agents,
@@ -1694,6 +1772,14 @@ FROM mm
             # X6: ulan = int-cast getty_id; X4 is certified implicitly —
             # name_controlled here NEVER carries the ' (Spirit)' suffix
             # the Spark authority's lc_terms do.
+            "CASE WHEN ck % 4 = 0 THEN ck + 500000000 END AS ulan, "
+            "mention_count FROM entities"
+        ),
+        # The bucketed catalog layout is a physical choice only — the
+        # query must hash-match kg_agents' oracle verbatim.
+        "kg_agents_bucketed": (
+            _KG_SQL_BASE
+            + "SELECT entity_key, name_controlled, is_controlled, type, "
             "CASE WHEN ck % 4 = 0 THEN ck + 500000000 END AS ulan, "
             "mention_count FROM entities"
         ),

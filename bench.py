@@ -26,7 +26,9 @@ HEADLINE = [
     "kg_agents",
     "kg_extract_text",
     "dedup_exact",
-    "dedup_minhash_pairs",
+    # the xxhash64 production hash (md5 stays on the CORRECTNESS row,
+    # where DuckDB must replay signatures bit-for-bit)
+    "dedup_minhash_pairs_prod",
     "dedup_simhash",
     "ann_cosine_top3",
     "ann_ivf_top3",
@@ -61,14 +63,17 @@ def run(sf_dir: str, cpus: str) -> dict:
         rows[name] = n
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
-    # Release the memoized kg pipeline's pinned persists (the unpersist
-    # hook a long-lived host would call between corpora) and verify the
-    # storage is actually gone — exercised here so a refactor can't
-    # silently break the hook.
-    released = entrymod.kg_cache_clear()
+    # Release the memoized kg pipeline's pinned persists AND its
+    # localCheckpoint blocks (ContextCleaner path — see kg_cache_clear's
+    # docstring), then ASSERT the storage is actually empty so a
+    # refactor can't silently re-grow the per-corpus residual.
+    released = entrymod.kg_cache_clear(wait_cleanup_s=15.0)
     leaked = [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
     print(f"# cache_clear released {released} entries, "
           f"{len(leaked)} RDDs still cached", file=sys.stderr)
+    assert not leaked, (
+        f"kg_cache_clear left {len(leaked)} RDDs in executor storage"
+    )
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

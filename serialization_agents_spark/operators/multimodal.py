@@ -33,6 +33,14 @@ except ImportError:
     _PILImage = None
     _HAVE_PIL = False
 
+try:  # same probe pattern for audio (soundfile wraps libsndfile)
+    import soundfile as _soundfile
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    _HAVE_SOUNDFILE = False
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, content binary, "
     "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
@@ -136,14 +144,38 @@ def _fake_audio_decode(content: bytes, n_features: int = 8) -> tuple[int, list[f
     return duration_ms, feats
 
 
+def _real_audio_decode(content: bytes, n_features: int = 8) -> tuple[int, list[float]]:
+    """soundfile-backed decode (active when the import probe found
+    soundfile and the caller passes fake=False): true duration plus a
+    mean-|amplitude| summary over n_features equal time segments — same
+    (duration_ms, feats) signature as `_fake_audio_decode`."""
+    import numpy as np
+
+    samples, sr = _soundfile.read(io.BytesIO(content), dtype="float32")
+    if samples.ndim > 1:  # downmix channels
+        samples = samples.mean(axis=1)
+    duration_ms = int(len(samples) * 1000 / sr)
+    segs = np.array_split(np.abs(samples), n_features)
+    feats = [round(float(s.mean()) if len(s) else 0.0, 6) for s in segs]
+    return duration_ms, feats
+
+
 def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media -> AUDIO_FEATURES rows (narrow mapInPandas; `kind` filter
-    pushed down before the Python stage, sample_rate carried from meta)."""
-    if not fake:
+    pushed down before the Python stage, sample_rate carried from meta).
+
+    `fake=False` uses the soundfile kernel when the import probe found it
+    (undecodable rows degrade to decode_ok=False, never a task failure);
+    without soundfile it raises so a misconfigured cluster fails loudly
+    at plan time instead of emitting fake features — the same probe
+    contract as the image paths."""
+    if not fake and not _HAVE_SOUNDFILE:
         raise NotImplementedError(
-            "real audio decoding requires librosa/ffmpeg, not present in "
-            "this environment; pass fake=True to exercise the pipeline"
+            "real audio decoding requires soundfile/librosa, not present "
+            "in this environment (import probe) — pass fake=True to "
+            "exercise the pipeline with the deterministic stub decoder"
         )
+    decode = _fake_audio_decode if fake else _real_audio_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,7 +184,7 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["sample_rate"]
             ):
                 try:
-                    dur, feats = _fake_audio_decode(bytes(content or b""))
+                    dur, feats = decode(bytes(content or b""))
                     rows.append((mid, sr, dur, feats, True))
                 except Exception:
                     rows.append((mid, sr, None, None, False))

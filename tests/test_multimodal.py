@@ -43,11 +43,12 @@ def test_real_decode_is_explicitly_stubbed():
             decode_image_batches(fake=False)
         with pytest.raises(NotImplementedError):
             resize_images(None, fake=False)
-    # audio/video codecs (librosa/ffmpeg) have no probe target here
+    if not M._HAVE_SOUNDFILE:
+        with pytest.raises(NotImplementedError):
+            extract_audio_features(None, fake=False)
+    # video codecs (ffmpeg) have no probe target here
     with pytest.raises(NotImplementedError):
         sample_video_frames(None, fake=False)
-    with pytest.raises(NotImplementedError):
-        extract_audio_features(None, fake=False)
 
 
 def test_real_image_decode_with_pil(spark, tmp_path):
@@ -85,6 +86,42 @@ def test_real_image_decode_with_pil(spark, tmp_path):
                resize_images(media, width=4, height=4, fake=False).collect()}
     assert len(bytes(resized[1]["content"])) == 4 * 4 * 3
     assert resized[2]["content"] is None
+
+
+def test_real_audio_decode_with_soundfile(spark):
+    """Opportunistic real-codec path (VERDICT round-4 #8, mirroring the
+    PIL image probe): when the import probe finds soundfile, fake=False
+    decodes real WAV bytes with the same schema/batching; skipped in
+    codec-less sandboxes."""
+    sf_mod = pytest.importorskip("soundfile")
+    import io as _io
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 second of 440 Hz sine
+    buf = _io.BytesIO()
+    sf_mod.write(buf, 0.5 * np.sin(2 * np.pi * 440 * t), sr, format="WAV")
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "audio", bytearray(b"not audio"))],
+        "media_id long, kind string, content binary",
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(sr).alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+    rows = {r["media_id"]: r for r in
+            extract_audio_features(media, fake=False).collect()}
+    assert rows[1]["decode_ok"] and rows[1]["duration_ms"] == 1000
+    # mean |sin| of a full-cycle segment ~= 0.5 * 2/pi
+    assert rows[1]["feature"] == pytest.approx([0.5 * 2 / np.pi] * 8, abs=0.01)
+    assert not rows[2]["decode_ok"]  # garbage degrades, never crashes
 
 
 def test_audio_features_kind_filter_and_meta_carry(spark):
