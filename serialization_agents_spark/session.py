@@ -26,8 +26,11 @@ def get_spark(
     """Build (or reuse) a SparkSession with the engine's standard config.
 
     ``master`` defaults to ``$SPARK_GRAFT_MASTER`` or ``local[N]`` where N
-    is ``$SPARK_GRAFT_CPUS`` (default 32). On a real cluster, leave
-    ``master`` unset and let spark-submit supply it.
+    is ``$SPARK_GRAFT_CPUS`` (default 32). On a real cluster, pass
+    ``master="inherit"`` (what runner.py does): the builder then never
+    calls ``.master()``, so the value spark-submit injected via
+    ``spark.master`` wins instead of being overridden by the local
+    default.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -37,9 +40,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "inherit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

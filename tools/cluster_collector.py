@@ -43,7 +43,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 PAUSE_FILE = "/tmp/cluster_collector.pause"
-WARMUP, SMALL, BIG = 60_000, 150_000, 600_000
+WARMUP, SMALL, BIG = 30_000, 150_000, 600_000
 CORES_PER_EXEC, MEM_MB = 2, 4096
 # generous clean-wall priors (seconds) used only for in-session early
 # abort (skip the big cell when the small one already ran capped) and
