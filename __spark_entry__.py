@@ -1178,6 +1178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             redirects=_kg_redirects(spark, sf),
             out_dir=out,
             agents_table="kg_agents_bucketed_stage",
+            # the agents-refresh maintenance job: stop at the agents
+            # stage — CC/triples/errors are never declared (until=),
+            # keeping this gate row at the cost of the stages it tests
+            until="agents",
         )
         return res.agents.select(
             "entity_key", "name_controlled", "is_controlled", "type",

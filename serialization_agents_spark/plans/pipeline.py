@@ -41,15 +41,19 @@ from serialization_agents_spark.plans.lineage import stage_metrics
 from serialization_agents_spark.sources.bucketed import read_bucketed, write_bucketed
 
 
+_STAGE_ORDER = ("extract", "mentions", "linked", "agents", "canonical", "triples")
+
+
 @dataclass
 class PipelineResult:
+    # stages past a `run_pipeline(until=...)` cutoff are None
     pages: DataFrame
-    mentions: DataFrame
-    linked: DataFrame
-    dead_viaf: DataFrame
-    agents: DataFrame
-    canonical: DataFrame
-    triples: DataFrame
+    mentions: DataFrame | None = None
+    linked: DataFrame | None = None
+    dead_viaf: DataFrame | None = None
+    agents: DataFrame | None = None
+    canonical: DataFrame | None = None
+    triples: DataFrame | None = None
     errors: DataFrame | None = None  # S15 audit side table
     cc_iterations: int = 0
     stages_resumed: list[str] = field(default_factory=list)
@@ -81,6 +85,7 @@ def run_pipeline(
     run_id: str = "run0",
     cache: bool = True,
     agents_table: str | None = None,
+    until: str = "triples",
 ) -> PipelineResult:
     """`agents_table` (requires out_dir): persist the agents stage as a
     catalog table BUCKETED on entity_key (sources/bucketed.py) instead of
@@ -91,7 +96,18 @@ def run_pipeline(
     this removes the dominant network cost of the maintenance jobs; on
     resume the bucket spec comes from the metastore (in-session here; a
     real deployment's persistent metastore keeps it across jobs — absent
-    that, resume falls back to the unbucketed parquet read)."""
+    that, resume falls back to the unbucketed parquet read).
+
+    `until`: stop after the named stage ("extract", "mentions",
+    "linked", "agents", "canonical", or "triples", the default) —
+    later-stage frames come back None and, crucially, their plans are
+    never DECLARED, so Spark schedules nothing for them. A maintenance
+    job that only refreshes the agents table (the common 10^12-scale
+    case) must not pay the CC loop, triple explode, and error audit of
+    the full flagship run."""
+    if until not in _STAGE_ORDER:
+        raise ValueError(f"until must be one of {_STAGE_ORDER}, got {until!r}")
+    cutoff = _STAGE_ORDER.index(until)
     if agents_table is not None and out_dir is None:
         raise ValueError(
             "agents_table requires out_dir: the bucketed catalog table is "
@@ -146,18 +162,37 @@ def run_pipeline(
     if lang_filter is not None:
         pages = pages.where(F.col("lang") == lang_filter)
 
+    def _partial(**stages) -> PipelineResult:
+        return PipelineResult(
+            stages_resumed=resumed, stages_computed=computed,
+            observations=observations, **stages,
+        )
+
     pages_x = with_extracted_text(pages)
     pages_x = materialize(pages_x, "extract", "url")
+    if cutoff == 0:
+        return _partial(pages=pages_x)
 
     # P4 subjects ride the same single page scan as the agent spans
     mentions = detect_mentions(pages_x, include_subjects=True)
     mentions = materialize(mentions, "mentions", "mention_id")
+    if cutoff == 1:
+        return _partial(pages=pages_x, mentions=mentions)
 
     linked, dead = link_mentions(mentions, authority, redirects, blacklist)
     linked = materialize(linked, "linked", "mention_id")
+    if cutoff == 2:
+        return _partial(
+            pages=pages_x, mentions=mentions, linked=linked, dead_viaf=dead
+        )
 
     agents = merge_entities(linked)
     agents = materialize(agents, "agents", "entity_key")
+    if cutoff == 3:
+        return _partial(
+            pages=pages_x, mentions=mentions, linked=linked,
+            dead_viaf=dead, agents=agents,
+        )
 
     canonical, iters = canonicalize_agents(agents)
     canonical = score_alt_forms(canonical)  # X2/X3 on entity-scale rows
@@ -165,6 +200,12 @@ def run_pipeline(
         canonical = canonical.persist()  # 7 union branches read it below
     canonical = enumerate_ids(canonical, order_col="entity_key")
     canonical = materialize(canonical, "canonical", "entity_key")
+    if cutoff == 4:
+        return _partial(
+            pages=pages_x, mentions=mentions, linked=linked,
+            dead_viaf=dead, agents=agents, canonical=canonical,
+            cc_iterations=iters,
+        )
 
     triples = materialize_triples(canonical, linked)
     triples = materialize(triples, "triples", "subj")

@@ -58,6 +58,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "entity_key (zero-shuffle maintenance joins)",
     )
     p.add_argument(
+        "--until", default="triples",
+        choices=("extract", "mentions", "linked", "agents", "canonical",
+                 "triples"),
+        help="stop after this stage (agents-table maintenance runs pass "
+        "--until agents and skip CC/triples entirely)",
+    )
+    p.add_argument(
         "--master",
         default="inherit",
         help="Spark master override; default inherits what spark-submit "
@@ -115,12 +122,17 @@ def main(argv: list[str] | None = None) -> int:
         out_dir=args.out_dir,
         run_id=args.run_id,
         agents_table=args.agents_table,
+        until=args.until,
     )
     summary = {
         "run_id": args.run_id,
         "out_dir": args.out_dir,
-        "n_triples": res.triples.count(),
-        "n_entities": res.canonical.count(),
+        "until": args.until,
+        "n_triples": res.triples.count() if res.triples is not None else None,
+        "n_entities": (
+            res.canonical.count() if res.canonical is not None else None
+        ),
+        "n_agents": res.agents.count() if res.agents is not None else None,
         "cc_iterations": res.cc_iterations,
         "stages_computed": res.stages_computed,
         "stages_resumed": res.stages_resumed,

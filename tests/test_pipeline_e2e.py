@@ -144,6 +144,31 @@ def test_resume_from_checkpoint(spark, corpus, tmp_path):
     assert got == want
 
 
+def test_until_agents_skips_downstream_and_resumes_forward(spark, corpus, tmp_path):
+    """`until="agents"` is the maintenance-job shape: downstream stages
+    (CC, triples, errors) are never declared — no output dirs, None
+    frames — and a later FULL run resumes the already-computed prefix
+    instead of recomputing it."""
+    import os
+
+    pages, authority, redirects, blacklist = corpus
+    out = str(tmp_path / "until_run")
+    res = run_pipeline(
+        spark, pages, authority, redirects, blacklist,
+        out_dir=out, until="agents",
+    )
+    assert res.canonical is None and res.triples is None and res.errors is None
+    assert res.agents.count() > 0
+    assert set(res.stages_computed) == {"extract", "mentions", "linked", "agents"}
+    for stage in ("canonical", "triples", "_errors"):
+        assert not os.path.exists(os.path.join(out, stage)), stage
+
+    full = run_pipeline(spark, pages, authority, redirects, blacklist, out_dir=out)
+    assert {"extract", "mentions", "linked", "agents"} <= set(full.stages_resumed)
+    assert {"canonical", "triples"} <= set(full.stages_computed)
+    assert full.triples.count() > 0
+
+
 def test_agents_table_without_out_dir_raises(spark, corpus):
     """ADVICE round-4: agents_table with out_dir=None was silently
     ignored (materialize returns early) — must fail loudly instead."""

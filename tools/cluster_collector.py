@@ -76,8 +76,26 @@ spark = get_spark(
 )
 spark.range(10_000_000).selectExpr("sum(id)").collect()
 
+canary_max = float(os.environ.get("CC_CANARY_MAX", "6"))
+warmup_max = float(os.environ.get("CC_ABORT_WARMUP", "150"))
+
+
+def canary() -> float:
+    # in-session weather check: a fixed pure-JVM range-sum across the
+    # executors; waves that cap the cluster show up here in ~1 s
+    t0 = time.time()
+    spark.range(500_000_000).selectExpr("sum(id)").collect()
+    return time.time() - t0
+
+
 for i, n_pages in enumerate(sizes):
     slot = "warmup" if i == 0 else ("small" if n_pages == sizes[1] else "big")
+    c = canary()
+    if c > canary_max:
+        print(json.dumps({"executors": n_exec, "slot": "abort",
+                          "reason": f"canary {c:.1f}s before {slot}"}),
+              flush=True)
+        break
     pages = synth.synth_pages(
         spark, n_pages=n_pages, n_auth=2000,
         partitions=max(total_cores * 3, 16), html_kb=30,
@@ -103,6 +121,11 @@ for i, n_pages in enumerate(sizes):
     if slot == "small" and wall > abort_small:
         print(json.dumps({"executors": n_exec, "slot": "abort",
                           "reason": f"small cell {wall:.1f}s > {abort_small}s"
+                          }), flush=True)
+        break
+    if slot == "warmup" and wall > warmup_max:
+        print(json.dumps({"executors": n_exec, "slot": "abort",
+                          "reason": f"warmup {wall:.1f}s > {warmup_max}s"
                           }), flush=True)
         break
 spark.stop()
