@@ -992,6 +992,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
+    def text_repetition(spark, sf):
+        """Gopher-rule repetition filters (duplicate word / 2-gram /
+        3-gram fractions) — pure Column exprs, certified against DuckDB
+        list arithmetic; the boilerplate/SEO-degenerate gate of a
+        training-data pipeline."""
+        docs = _t(spark, sf, "documents")
+        r = T.repetition_features(F.col("text"))
+        return docs.select(
+            "doc_id",
+            F.round(r["dup_word_fraction"], 4).alias("dup_word_fraction"),
+            F.round(r["dup_2gram_fraction"], 4).alias("dup_2gram_fraction"),
+            F.round(r["dup_3gram_fraction"], 4).alias("dup_3gram_fraction"),
+        )
+
     def multimodal_image_features(spark, sf):
         from serialization_agents_spark.operators.multimodal import (
             extract_image_features,
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_token_counts": text_token_counts,
         "text_fingerprint": text_fingerprint,
+        "text_repetition": text_repetition,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_frame_sample": multimodal_frame_sample,
@@ -1575,6 +1590,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
             + toks
             + ")), ' ')) AS fingerprint FROM documents"
+        ),
+        # Repetition fractions: DuckDB lists are 1-based and scalar
+        # range(a, b) is half-open, so range(1, len(l)) enumerates the
+        # n-1 bigram starts exactly like Spark's sequence(1, k-1).
+        "text_repetition": (
+            f"WITH t AS (SELECT doc_id, {toks} AS l FROM documents), "
+            "g AS (SELECT doc_id, l, "
+            "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS g2, "
+            "list_transform(range(1, len(l) - 1), "
+            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3 FROM t) "
+            "SELECT doc_id, "
+            "CASE WHEN len(l) > 0 THEN round(1.0 - len(list_distinct(l))::DOUBLE / len(l), 4) ELSE 0.0 END AS dup_word_fraction, "
+            "CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4) ELSE 0.0 END AS dup_2gram_fraction, "
+            "CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) ELSE 0.0 END AS dup_3gram_fraction "
+            "FROM g"
         ),
         "multimodal_image_features": (
             _MEDIA_SQL

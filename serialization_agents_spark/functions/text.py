@@ -102,6 +102,44 @@ def quality_score(text: Column) -> Column:
     return F.round((len_ok + word_ok + stop_ok + punct_ok) / F.lit(4.0), 4)
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams as a string array (pure Column exprs; element_at is
+    1-based). Fewer than n tokens -> empty array."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals — the Gopher-rule family
+    (duplicate-line/-n-gram fractions; Rae et al. 2021, public recipe)
+    adapted to whitespace corpora: fraction of duplicate words and of
+    duplicate word-2-grams/3-grams. High values mark boilerplate and
+    degenerate SEO text. All pure Column expressions (codegen'd;
+    O(tokens log tokens) per row, no shuffle, no Python), so the filter
+    runs at scan speed over 100 TB."""
+
+    def dup_fraction(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, F.lit(1.0) - F.size(F.array_distinct(arr)) / n
+        ).otherwise(F.lit(0.0))
+
+    empty = F.length(F.trim(text)) == 0
+    toks = F.when(empty, F.array().cast("array<string>")).otherwise(tokens(text))
+    return {
+        "dup_word_fraction": dup_fraction(toks),
+        "dup_2gram_fraction": dup_fraction(word_ngrams(text, 2)),
+        "dup_3gram_fraction": dup_fraction(word_ngrams(text, 3)),
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint robust to word order: md5 of the
     sorted distinct token set (canonical bag-of-words form)."""

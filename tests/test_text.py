@@ -60,3 +60,33 @@ def test_fingerprint_word_order_invariant(spark):
         "doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
     assert out[0] == out[1]       # order + multiplicity invariant
     assert out[0] != out[2]
+
+
+def test_repetition_fractions_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),        # words: 4/6 dup; 2grams: 3/5 dup
+            (1, "one two three four"),  # no repetition at all
+            (2, "x"),                  # single token: no n-grams
+            (3, ""),                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    r = T.repetition_features(F.col("text"))
+    out = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id",
+            F.round(r["dup_word_fraction"], 4).alias("w"),
+            F.round(r["dup_2gram_fraction"], 4).alias("g2"),
+            F.round(r["dup_3gram_fraction"], 4).alias("g3"),
+        ).collect()
+    }
+    assert out[0]["w"] == round(1 - 2 / 6, 4)
+    # 2-grams of 'a b a b a b': [a b, b a, a b, b a, a b] -> 2 distinct of 5
+    assert out[0]["g2"] == round(1 - 2 / 5, 4)
+    # 3-grams: [a b a, b a b, a b a, b a b] -> 2 distinct of 4
+    assert out[0]["g3"] == 0.5
+    assert tuple(out[1])[1:] == (0.0, 0.0, 0.0)
+    assert tuple(out[2])[1:] == (0.0, 0.0, 0.0)
+    assert tuple(out[3])[1:] == (0.0, 0.0, 0.0)

@@ -170,7 +170,7 @@ def collect(log_path: str, max_sessions: int) -> None:
         if not calm:
             time.sleep(60)
             continue
-        n_exec = (4, 1)[done % 2]
+        n_exec = (1, 4)[done % 2]
         t0 = time.time()
         rows = run_session(n_exec)
         stamp = time.time()
