@@ -44,12 +44,13 @@ sys.path.insert(0, "/root/repo")
 
 PAUSE_FILE = "/tmp/cluster_collector.pause"
 WARMUP, SMALL, BIG = 30_000, 150_000, 600_000
-CORES_PER_EXEC, MEM_MB = 2, 4096
-# generous clean-wall priors (seconds) used only for in-session early
-# abort (skip the big cell when the small one already ran capped) and
-# per-session subprocess budgets — assembly relies on minima, not these.
-EXPECT_SMALL = {1: 45.0, 4: 25.0}
-SESSION_BUDGET = {1: 900, 4: 600}
+MEM_MB = 4096
+# generous clean-wall priors (seconds) keyed by (executors, cores) —
+# used only for in-session early abort (skip the big cell when the
+# small one already ran capped) and per-session subprocess budgets;
+# assembly relies on minima, not these.
+EXPECT_SMALL = {(1, 2): 45.0, (4, 2): 40.0, (1, 1): 90.0, (4, 1): 55.0}
+SESSION_BUDGET = {(1, 2): 900, (4, 2): 600, (1, 1): 1200, (4, 1): 700}
 
 WORKER = r"""
 import json, os, sys, time
@@ -77,7 +78,7 @@ spark = get_spark(
 spark.range(10_000_000).selectExpr("sum(id)").collect()
 
 canary_max = float(os.environ.get("CC_CANARY_MAX", "6"))
-warmup_max = float(os.environ.get("CC_ABORT_WARMUP", "150"))
+warmup_max = float(os.environ.get("CC_ABORT_WARMUP", "100"))
 
 
 def canary() -> float:
@@ -88,9 +89,15 @@ def canary() -> float:
     return time.time() - t0
 
 
+small_pages = int(os.environ["CC_SMALL"])
+
 for i, n_pages in enumerate(sizes):
-    slot = "warmup" if i == 0 else ("small" if n_pages == sizes[1] else "big")
+    slot = "warmup" if i == 0 else (
+        "small" if n_pages == small_pages else "big"
+    )
     c = canary()
+    print(json.dumps({"executors": n_exec, "slot": "canary",
+                      "before": slot, "wall_sec": round(c, 2)}), flush=True)
     if c > canary_max:
         print(json.dumps({"executors": n_exec, "slot": "abort",
                           "reason": f"canary {c:.1f}s before {slot}"}),
@@ -132,18 +139,21 @@ spark.stop()
 """
 
 
-def run_session(n_exec: int) -> list[dict]:
+def run_session(
+    n_exec: int, sizes: tuple[int, ...] | None = None, cores: int = 2
+) -> list[dict]:
     env = dict(
         os.environ,
-        CC_EXECUTORS=str(n_exec), CC_CORES=str(CORES_PER_EXEC),
+        CC_EXECUTORS=str(n_exec), CC_CORES=str(cores),
         CC_MEM_MB=str(MEM_MB),
-        CC_SIZES=f"{WARMUP},{SMALL},{BIG}",
-        CC_ABORT_SMALL=str(EXPECT_SMALL[n_exec] * 1.7),
+        CC_SIZES=",".join(str(s) for s in (sizes or (WARMUP, SMALL, BIG))),
+        CC_SMALL=str(SMALL),
+        CC_ABORT_SMALL=str(EXPECT_SMALL[(n_exec, cores)] * 1.7),
     )
     try:
         out = subprocess.run(
             [sys.executable, "-c", WORKER], env=env, capture_output=True,
-            text=True, timeout=SESSION_BUDGET[n_exec],
+            text=True, timeout=SESSION_BUDGET[(n_exec, cores)],
         )
         stdout = out.stdout
         if out.returncode != 0 and not stdout.strip():
@@ -154,6 +164,29 @@ def run_session(n_exec: int) -> list[dict]:
             stdout = stdout.decode()
     return [json.loads(l) for l in stdout.strip().splitlines()
             if l.startswith("{")]
+
+
+# The host cap strikes ~30-45 s into sustained load and discriminates by
+# AGGREGATE thread count, not process count: 1exec[2] (2 threads) lands
+# clean routinely while 4exec[2] (8 threads across 4 real JVMs) is
+# struck in nearly every window. Two hedged tracks, both the criterion's
+# 1-vs-4-executor shape at fixed cores-per-executor:
+#   cores=2 track — 1exec minima are converged; the missing cell is
+#     4exec@big, so it gets the most windows;
+#   cores=1 track — 1 vs 4 aggregate threads, far below the cap trigger;
+#     slower cells but much higher clean odds.
+# All hot cells are DUO sessions ([warmup, one hot cell] — consistent
+# post-warmup temperature per slot) except the proven 1exec[2] triple.
+SCHEDULE = (
+    (4, 2, (WARMUP, BIG)),
+    (4, 1, (WARMUP, SMALL)),
+    (4, 2, (WARMUP, BIG)),
+    (1, 1, (WARMUP, SMALL)),
+    (4, 1, (WARMUP, BIG)),
+    (1, 2, (WARMUP, SMALL, BIG)),
+    (4, 2, (WARMUP, SMALL)),
+    (1, 1, (WARMUP, BIG)),
+)
 
 
 def collect(log_path: str, max_sessions: int) -> None:
@@ -170,16 +203,16 @@ def collect(log_path: str, max_sessions: int) -> None:
         if not calm:
             time.sleep(60)
             continue
-        n_exec = (1, 4)[done % 2]
+        n_exec, cores, sizes = SCHEDULE[done % len(SCHEDULE)]
         t0 = time.time()
-        rows = run_session(n_exec)
+        rows = run_session(n_exec, sizes, cores=cores)
         stamp = time.time()
         with open(log_path, "a") as f:
             for r in rows:
                 r.update(ts=round(stamp, 1), probe_j2=round(j2, 1),
                          probe_j8=round(j8, 1))
                 f.write(json.dumps(r) + "\n")
-        print(f"  session {n_exec}exec: {len(rows)} rows in "
+        print(f"  session {n_exec}exec[{cores}]: {len(rows)} rows in "
               f"{time.time() - t0:.0f}s: "
               + " ".join(f"{r.get('slot')}={r.get('wall_sec')}" for r in rows),
               flush=True)
@@ -190,33 +223,49 @@ def collect(log_path: str, max_sessions: int) -> None:
 def assemble(log_path: str) -> dict:
     rows = [json.loads(l) for l in open(log_path) if l.strip()]
     cells = [r for r in rows if r.get("slot") in ("small", "big")]
-    minima: dict[tuple[int, str], dict] = {}
-    counts: dict[tuple[int, str], int] = {}
+    minima: dict[tuple[int, int, str], dict] = {}
+    counts: dict[tuple[int, int, str], int] = {}
     for r in cells:
-        k = (r["executors"], r["slot"])
+        k = (r["executors"], r["cores_per_executor"], r["slot"])
         counts[k] = counts.get(k, 0) + 1
         if k not in minima or r["wall_sec"] < minima[k]["wall_sec"]:
             minima[k] = r
+    tri: dict[int, set] = {}
+    for r in cells:
+        tri.setdefault(r["n_pages"], set()).add(r["n_triples"])
     out: dict = {
-        "mode": f"local-cluster[N,{CORES_PER_EXEC},{MEM_MB}] triple protocol",
+        "mode": f"local-cluster[N,cores,{MEM_MB}] duo/triple protocol, "
+                "slot minima over all observations",
         "sizes": {"warmup": WARMUP, "small": SMALL, "big": BIG},
         "slot_minima_wall_sec": {
-            f"{e}exec@{s}": minima[(e, s)]["wall_sec"] for (e, s) in minima
+            f"{e}exec[{c}]@{s}": minima[(e, c, s)]["wall_sec"]
+            for (e, c, s) in sorted(minima)
         },
-        "slot_observations": {f"{e}exec@{s}": counts[(e, s)]
-                              for (e, s) in counts},
+        "slot_observations": {
+            f"{e}exec[{c}]@{s}": counts[(e, c, s)]
+            for (e, c, s) in sorted(counts)
+        },
+        # every session (either cluster size, any weather) must emit the
+        # identical triple count per corpus size
+        "deterministic_across_cluster_sizes": all(
+            len(v) == 1 for v in tri.values()
+        ),
+        "triple_counts": {str(k): sorted(v) for k, v in tri.items()},
+        "target": 0.8,
+        "tracks": {},
     }
-    have = all((e, s) in minima for e in (1, 4) for s in ("small", "big"))
-    if have:
-        d = BIG - SMALL
-        m1 = (minima[(1, "big")]["wall_sec"]
-              - minima[(1, "small")]["wall_sec"]) / d
-        m4 = (minima[(4, "big")]["wall_sec"]
-              - minima[(4, "small")]["wall_sec"]) / d
-        tri: dict[int, set] = {}
-        for r in cells:
-            tri.setdefault(r["n_pages"], set()).add(r["n_triples"])
-        out.update({
+    d = BIG - SMALL
+    for cores in (1, 2):
+        have = all(
+            (e, cores, s) in minima for e in (1, 4) for s in ("small", "big")
+        )
+        if not have:
+            continue
+        m1 = (minima[(1, cores, "big")]["wall_sec"]
+              - minima[(1, cores, "small")]["wall_sec"]) / d
+        m4 = (minima[(4, cores, "big")]["wall_sec"]
+              - minima[(4, cores, "small")]["wall_sec"]) / d
+        out["tracks"][f"cores={cores}"] = {
             "marginal_us_per_page": {"1exec": round(m1 * 1e6, 1),
                                      "4exec": round(m4 * 1e6, 1)},
             "monotone": m1 >= m4 > 0,
@@ -224,18 +273,11 @@ def assemble(log_path: str) -> dict:
                 round(m1 / m4 / 4, 3) if m1 >= m4 > 0 else None
             ),
             "same_input_throughput_ratio": {
-                s: round(minima[(1, s)]["wall_sec"]
-                         / minima[(4, s)]["wall_sec"], 2)
+                s: round(minima[(1, cores, s)]["wall_sec"]
+                         / minima[(4, cores, s)]["wall_sec"], 2)
                 for s in ("small", "big")
             },
-            # every session (either cluster size, any weather) must emit
-            # the identical triple count per corpus size
-            "deterministic_across_cluster_sizes": all(
-                len(v) == 1 for v in tri.values()
-            ),
-            "triple_counts": {str(k): sorted(v) for k, v in tri.items()},
-            "target": 0.8,
-        })
+        }
     print(json.dumps(out, indent=1))
     return out
 
