@@ -43,14 +43,20 @@ import time
 sys.path.insert(0, "/root/repo")
 
 PAUSE_FILE = "/tmp/cluster_collector.pause"
-WARMUP, SMALL, BIG = 30_000, 150_000, 600_000
+WARMUP, SMALL, MID, BIG = 30_000, 150_000, 300_000, 600_000
+SLOT_PAGES = {"small": SMALL, "mid": MID, "big": BIG}
 MEM_MB = 4096
+# Seconds of idle between the warmup cell and the hot cell: the cap
+# engages ~30-45 s into SUSTAINED load, so a pause lets its clock reset
+# while the JVMs' JIT state stays warm — the hot cell then starts with
+# the full ~30-45 s of grace instead of whatever the warmup left.
+COOLDOWN = 25
 # generous clean-wall priors (seconds) keyed by (executors, cores) —
 # used only for in-session early abort (skip the big cell when the
 # small one already ran capped) and per-session subprocess budgets;
 # assembly relies on minima, not these.
 EXPECT_SMALL = {(1, 2): 45.0, (4, 2): 40.0, (1, 1): 90.0, (4, 1): 55.0}
-SESSION_BUDGET = {(1, 2): 900, (4, 2): 600, (1, 1): 1200, (4, 1): 700}
+SESSION_BUDGET = {(1, 2): 900, (4, 2): 700, (1, 1): 1200, (4, 1): 900}
 
 WORKER = r"""
 import json, os, sys, time
@@ -90,11 +96,18 @@ def canary() -> float:
 
 
 small_pages = int(os.environ["CC_SMALL"])
+mid_pages = int(os.environ.get("CC_MID", "300000"))
+cooldown = float(os.environ.get("CC_COOLDOWN", "0"))
 
 for i, n_pages in enumerate(sizes):
     slot = "warmup" if i == 0 else (
-        "small" if n_pages == small_pages else "big"
+        "small" if n_pages == small_pages
+        else ("mid" if n_pages == mid_pages else "big")
     )
+    if slot != "warmup" and cooldown > 0:
+        # idle gap: let the host's sustained-load clock reset while the
+        # executors' JIT stays warm, so the hot cell starts with full grace
+        time.sleep(cooldown)
     c = canary()
     print(json.dumps({"executors": n_exec, "slot": "canary",
                       "before": slot, "wall_sec": round(c, 2)}), flush=True)
@@ -147,7 +160,8 @@ def run_session(
         CC_EXECUTORS=str(n_exec), CC_CORES=str(cores),
         CC_MEM_MB=str(MEM_MB),
         CC_SIZES=",".join(str(s) for s in (sizes or (WARMUP, SMALL, BIG))),
-        CC_SMALL=str(SMALL),
+        CC_SMALL=str(SMALL), CC_MID=str(MID),
+        CC_COOLDOWN=str(COOLDOWN),
         CC_ABORT_SMALL=str(EXPECT_SMALL[(n_exec, cores)] * 1.7),
     )
     try:
@@ -171,21 +185,29 @@ def run_session(
 # clean routinely while 4exec[2] (8 threads across 4 real JVMs) is
 # struck in nearly every window. Two hedged tracks, both the criterion's
 # 1-vs-4-executor shape at fixed cores-per-executor:
-#   cores=2 track — 1exec minima are converged; the missing cell is
-#     4exec@big, so it gets the most windows;
+#   cores=2 track — 1exec minima are converged; the missing 4exec hot
+#     cells get the most windows, preferring MID (~30 s of 8-thread
+#     exposure — inside the cap's grace window) over BIG (~40 s — at
+#     its edge);
 #   cores=1 track — 1 vs 4 aggregate threads, far below the cap trigger;
 #     slower cells but much higher clean odds.
-# All hot cells are DUO sessions ([warmup, one hot cell] — consistent
-# post-warmup temperature per slot) except the proven 1exec[2] triple.
+# All hot cells are DUO sessions ([warmup, cooldown, one hot cell] —
+# consistent post-warmup temperature per slot) except the proven
+# 1exec[2] triple. Any small->mid, mid->big, or small->big clean pair
+# yields a marginal; assembly reports every pair both tracks complete.
 SCHEDULE = (
-    (4, 2, (WARMUP, BIG)),
     (4, 1, (WARMUP, SMALL)),
-    (4, 2, (WARMUP, BIG)),
+    (4, 2, (WARMUP, MID)),
     (1, 1, (WARMUP, SMALL)),
+    (4, 2, (WARMUP, BIG)),
+    (4, 1, (WARMUP, MID)),
+    (1, 2, (WARMUP, MID)),
     (4, 1, (WARMUP, BIG)),
-    (1, 2, (WARMUP, SMALL, BIG)),
-    (4, 2, (WARMUP, SMALL)),
+    (1, 1, (WARMUP, MID)),
+    (4, 2, (WARMUP, MID)),
     (1, 1, (WARMUP, BIG)),
+    (4, 1, (WARMUP, SMALL)),
+    (1, 2, (WARMUP, SMALL, BIG)),
 )
 
 
@@ -222,7 +244,7 @@ def collect(log_path: str, max_sessions: int) -> None:
 
 def assemble(log_path: str) -> dict:
     rows = [json.loads(l) for l in open(log_path) if l.strip()]
-    cells = [r for r in rows if r.get("slot") in ("small", "big")]
+    cells = [r for r in rows if r.get("slot") in ("small", "mid", "big")]
     minima: dict[tuple[int, int, str], dict] = {}
     counts: dict[tuple[int, int, str], int] = {}
     for r in cells:
@@ -236,7 +258,7 @@ def assemble(log_path: str) -> dict:
     out: dict = {
         "mode": f"local-cluster[N,cores,{MEM_MB}] duo/triple protocol, "
                 "slot minima over all observations",
-        "sizes": {"warmup": WARMUP, "small": SMALL, "big": BIG},
+        "sizes": {"warmup": WARMUP, "small": SMALL, "mid": MID, "big": BIG},
         "slot_minima_wall_sec": {
             f"{e}exec[{c}]@{s}": minima[(e, c, s)]["wall_sec"]
             for (e, c, s) in sorted(minima)
@@ -254,30 +276,35 @@ def assemble(log_path: str) -> dict:
         "target": 0.8,
         "tracks": {},
     }
-    d = BIG - SMALL
     for cores in (1, 2):
-        have = all(
-            (e, cores, s) in minima for e in (1, 4) for s in ("small", "big")
-        )
-        if not have:
-            continue
-        m1 = (minima[(1, cores, "big")]["wall_sec"]
-              - minima[(1, cores, "small")]["wall_sec"]) / d
-        m4 = (minima[(4, cores, "big")]["wall_sec"]
-              - minima[(4, cores, "small")]["wall_sec"]) / d
-        out["tracks"][f"cores={cores}"] = {
-            "marginal_us_per_page": {"1exec": round(m1 * 1e6, 1),
-                                     "4exec": round(m4 * 1e6, 1)},
-            "monotone": m1 >= m4 > 0,
-            "marginal_scaling_efficiency_1_to_4": (
-                round(m1 / m4 / 4, 3) if m1 >= m4 > 0 else None
-            ),
-            "same_input_throughput_ratio": {
-                s: round(minima[(1, cores, s)]["wall_sec"]
-                         / minima[(4, cores, s)]["wall_sec"], 2)
-                for s in ("small", "big")
-            },
-        }
+        track: dict = {"pairs": {}, "same_input_throughput_ratio": {}}
+        for s in ("small", "mid", "big"):
+            if (1, cores, s) in minima and (4, cores, s) in minima:
+                track["same_input_throughput_ratio"][s] = round(
+                    minima[(1, cores, s)]["wall_sec"]
+                    / minima[(4, cores, s)]["wall_sec"], 2)
+        # every (lo, hi) size pair both executor counts completed gives an
+        # independent marginal estimate; fixed per-session costs cancel
+        for lo, hi in (("small", "mid"), ("mid", "big"), ("small", "big")):
+            have = all((e, cores, s) in minima
+                       for e in (1, 4) for s in (lo, hi))
+            if not have:
+                continue
+            d = SLOT_PAGES[hi] - SLOT_PAGES[lo]
+            m1 = (minima[(1, cores, hi)]["wall_sec"]
+                  - minima[(1, cores, lo)]["wall_sec"]) / d
+            m4 = (minima[(4, cores, hi)]["wall_sec"]
+                  - minima[(4, cores, lo)]["wall_sec"]) / d
+            track["pairs"][f"{lo}->{hi}"] = {
+                "marginal_us_per_page": {"1exec": round(m1 * 1e6, 1),
+                                         "4exec": round(m4 * 1e6, 1)},
+                "monotone": m1 >= m4 > 0,
+                "marginal_scaling_efficiency_1_to_4": (
+                    round(m1 / m4 / 4, 3) if m1 >= m4 > 0 else None
+                ),
+            }
+        if track["pairs"] or track["same_input_throughput_ratio"]:
+            out["tracks"][f"cores={cores}"] = track
     print(json.dumps(out, indent=1))
     return out
 
