@@ -1006,6 +1006,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(r["dup_3gram_fraction"], 4).alias("dup_3gram_fraction"),
         )
 
+    def dedup_chunks(spark, sf):
+        """CCNet-style paragraph/chunk-level exact dedup: globally
+        keep-first over md5 chunk hashes, reassembled per doc. The
+        synthetic corpus has no newlines, so the gate runs the
+        fixed-word-window mode (12-token chunks); the regex-paragraph
+        mode is pytest-covered on crafted multi-paragraph docs."""
+        return D.chunk_dedup(_t(spark, sf, "documents"))
+
+    def dedup_neardup_clusters(spark, sf):
+        """MinHash-LSH candidate pairs closed under transitivity by the
+        pipeline's connected-components loop — certifies the CC operator
+        against an independent DuckDB recursive-CTE transitive closure
+        (its other certification is composite, via kg_agents/kg_triples)."""
+        return D.neardup_clusters(_t(spark, sf, "documents"))
+
+    def text_pii_scrub(spark, sf):
+        """PII redaction (emails / IPv4 / phone-shaped numbers) with
+        per-category counts. The corpus itself is PII-free word soup, so
+        the gate query first injects deterministic doc_id-derived PII
+        into every row — the oracle injects the identical strings — and
+        the certified values are the redaction counts plus the md5 of
+        the scrubbed text."""
+        docs = _t(spark, sf, "documents")
+        injected = F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            F.concat(
+                F.lit("call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        p = T.pii_features(injected)
+        return docs.select(
+            "doc_id",
+            p["n_emails"].alias("n_emails"),
+            p["n_ips"].alias("n_ips"),
+            p["n_phones"].alias("n_phones"),
+            F.md5(p["scrubbed"]).alias("scrubbed_hash"),
+        )
+
+    def text_corpus_stats(spark, sf):
+        """Per-(source, lang) curation rollup: doc counts, mean quality,
+        token totals — the sampling-weight / mixture table a training-data
+        pipeline builds before sampling. The mean is computed over
+        10^4-scaled integer quality (per-row values are already rounded
+        to 4 decimals) with integer FLOOR division, so no engine ever
+        rounds an inexact double: Spark's round() rounds the shortest
+        decimal rendering while DuckDB rounds the binary value, and a
+        half-way mean like 0.81695 splits them (measured)."""
+        docs = _t(spark, sf, "documents")
+        per = docs.select(
+            "source",
+            "lang",
+            F.round(T.quality_score(F.col("text")) * 10000).cast("long").alias("q4"),
+            T.token_count(F.col("text")).cast("long").alias("ws"),
+        )
+        agg = per.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q4").alias("q4sum"),
+            F.sum("ws").alias("total_tokens"),
+        )
+        return agg.select(
+            "source",
+            "lang",
+            "n_docs",
+            (F.expr("q4sum DIV n_docs") / 10000.0).alias("avg_quality"),
+            "total_tokens",
+        )
+
     def multimodal_image_features(spark, sf):
         from serialization_agents_spark.operators.multimodal import (
             extract_image_features,
@@ -1387,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs_prod": dedup_minhash_pairs_prod,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
+        "dedup_chunks": dedup_chunks,
+        "dedup_neardup_clusters": dedup_neardup_clusters,
         "ann_cosine_top3": ann_cosine_top3,
         "ann_lsh_top3": ann_lsh_top3,
         "ann_lsh_multiprobe_top3": ann_lsh_multiprobe_top3,
@@ -1397,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": text_token_counts,
         "text_fingerprint": text_fingerprint,
         "text_repetition": text_repetition,
+        "text_pii_scrub": text_pii_scrub,
+        "text_corpus_stats": text_corpus_stats,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_frame_sample": multimodal_frame_sample,
@@ -1457,6 +1532,29 @@ def oracle_sql() -> dict[str, str]:
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+    )
+    # Quality-score pieces shared by text_quality and text_corpus_stats —
+    # one source of truth so the two oracles can never drift apart.
+    qual_cte = lambda extra_cols: (  # noqa: E731
+        f"WITH q AS (SELECT {extra_cols}, length(text) AS n_chars, "
+        f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tok, "
+        f"len(list_intersect({toks}, "
+        "['the','and','of','to','a','in','is','that','it','was'])) AS stop_hits, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct "
+        "FROM documents)"
+    )
+    qual_expr = (
+        "round(("
+        "least(n_tok / 20.0, 1.0) + "
+        "(CASE WHEN n_tok > 0 AND (n_chars - (n_tok - 1.0)) / n_tok BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) + "
+        "least((CASE WHEN n_tok > 0 THEN stop_hits::DOUBLE / n_tok ELSE 0 END) * 10.0, 1.0) + "
+        "greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) * 5.0)"
+        ") / 4.0, 4)"
+    )
+    from serialization_agents_spark.functions.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
     )
 
     return {
@@ -1550,6 +1648,45 @@ def oracle_sql() -> dict[str, str]:
             + " + ".join(f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32))
             + ")::BIGINT AS simhash FROM votes"
         ),
+        # Chunk-level keep-first dedup: DuckDB's unnest(range(...)) plays
+        # the role of Spark's posexplode over fixed 12-token windows; the
+        # keep-first rule is the identical row_number window on the chunk
+        # hash ordered by (doc_id, chunk_idx).
+        "dedup_chunks": (
+            f"WITH t AS (SELECT doc_id, {toks} AS w FROM documents), "
+            "ix AS (SELECT doc_id, w, unnest(range(0, "
+            "CAST(ceil(len(w) / 12.0) AS BIGINT))) AS i FROM t WHERE len(w) > 0), "
+            "ch AS (SELECT doc_id, i AS chunk_idx, "
+            "array_to_string(w[(i*12+1):(i*12+12)], ' ') AS chunk FROM ix), "
+            "chf AS (SELECT doc_id, chunk_idx, chunk FROM ch WHERE chunk <> ''), "
+            "r AS (SELECT doc_id, chunk_idx, chunk, row_number() OVER ("
+            "PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn FROM chf) "
+            "SELECT doc_id, count(*) AS total_chunks, "
+            "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_chunks, "
+            "coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) "
+            "FILTER (WHERE rn = 1), '') AS dedup_text "
+            "FROM r GROUP BY doc_id"
+        ),
+        # Transitive closure over the SAME banded candidate pairs the
+        # dedup_minhash_pairs oracle certifies, as a recursive CTE; the
+        # Spark side runs the kg pipeline's connected-components loop, so
+        # this row is the CC operator's independent cross-engine oracle.
+        "dedup_neardup_clusters": (
+            "WITH RECURSIVE "
+            + sig_cte[len("WITH ") :]
+            + ", eb AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, band{b} AS band FROM bands" for b in range(4)
+            )
+            + "), ebd AS (SELECT DISTINCT doc_id, band FROM eb), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM ebd a JOIN ebd b ON a.band = b.band AND a.doc_id < b.doc_id), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(id, r) AS (SELECT a, a FROM e "
+            "UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a) "
+            "SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id"
+        ),
         "ann_cosine_top3": (
             "SELECT query_id, neighbor_id, cosine, rank FROM ("
             "SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, "
@@ -1567,18 +1704,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
         ),
         "text_quality": (
-            "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
-            f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END AS n_tok, "
-            f"len(list_intersect({toks}, "
-            "['the','and','of','to','a','in','is','that','it','was'])) AS stop_hits, "
-            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct "
-            "FROM documents) "
-            "SELECT doc_id, round(("
-            "least(n_tok / 20.0, 1.0) + "
-            "(CASE WHEN n_tok > 0 AND (n_chars - (n_tok - 1.0)) / n_tok BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) + "
-            "least((CASE WHEN n_tok > 0 THEN stop_hits::DOUBLE / n_tok ELSE 0 END) * 10.0, 1.0) + "
-            "greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END) * 5.0)"
-            ") / 4.0, 4) AS quality FROM q"
+            qual_cte("doc_id") + " SELECT doc_id, " + qual_expr + " AS quality FROM q"
         ),
         "text_token_counts": (
             "SELECT doc_id, "
@@ -1605,6 +1731,37 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 4) ELSE 0.0 END AS dup_2gram_fraction, "
             "CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) ELSE 0.0 END AS dup_3gram_fraction "
             "FROM g"
+        ),
+        # PII scrub over deterministically injected doc_id-derived PII
+        # (the synthetic corpus carries none); patterns are the RE2-safe
+        # Java-regex subset so both engines match byte-for-byte, and the
+        # redaction order (email -> ip -> phone) is fixed on both sides.
+        "text_pii_scrub": (
+            "WITH i AS (SELECT doc_id, concat_ws(' ', text, "
+            "'user' || doc_id::VARCHAR || '@example.com', "
+            "'10.0.' || (doc_id % 256)::VARCHAR || '.7', "
+            "'call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')) AS t "
+            "FROM documents), "
+            f"e1 AS (SELECT doc_id, len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails, "
+            f"regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t FROM i), "
+            f"e2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips, "
+            f"regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t FROM e1), "
+            f"e3 AS (SELECT doc_id, n_emails, n_ips, len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones, "
+            f"regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t FROM e2) "
+            "SELECT doc_id, n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips, "
+            "n_phones::BIGINT AS n_phones, md5(t) AS scrubbed_hash FROM e3"
+        ),
+        # Mean quality via 10^4-scaled integer sums with FLOOR division
+        # (// here, DIV on the Spark side): per-row quality is already
+        # rounded to 4 decimals, so the whole aggregate stays in exact
+        # integer space and no engine rounds an inexact double.
+        "text_corpus_stats": (
+            qual_cte("source, lang")
+            + ", per AS (SELECT source, lang, "
+            f"CAST(round({qual_expr} * 10000) AS BIGINT) AS q4, n_tok AS ws FROM q) "
+            "SELECT source, lang, count(*) AS n_docs, "
+            "(sum(q4)::BIGINT // count(*)) / 10000.0 AS avg_quality, "
+            "sum(ws)::BIGINT AS total_tokens FROM per GROUP BY source, lang"
         ),
         "multimodal_image_features": (
             _MEDIA_SQL

@@ -30,6 +30,9 @@ HEADLINE = [
     # where DuckDB must replay signatures bit-for-bit)
     "dedup_minhash_pairs_prod",
     "dedup_simhash",
+    # chunk-level (CCNet-style) dedup: explode + one hash shuffle + one
+    # doc-id shuffle — the paragraph-dedup workhorse of a webtext pipeline
+    "dedup_chunks",
     "ann_cosine_top3",
     "ann_ivf_top3",
     "dedup_embedding_neardup",

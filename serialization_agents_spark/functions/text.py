@@ -144,3 +144,36 @@ def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint robust to word order: md5 of the
     sorted distinct token set (canonical bag-of-words form)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+# PII patterns, written in the RE2-compatible subset of Java regex (no
+# backreferences / lookaround, [0-9] not \d) so DuckDB's regexp functions
+# match byte-for-byte and the scrub is oracle-certifiable cross-engine.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_features(text: Column) -> dict[str, Column]:
+    """PII redaction for training-data pipelines: replace emails, IPv4
+    addresses and phone-shaped numbers with typed placeholder tokens and
+    count each category. Pure Column expressions (regexp_replace /
+    regexp_count are codegen'd JVM regex — no Python, no shuffle), so the
+    scrub runs at scan speed over 100 TB. Replacement order matters and
+    is fixed (email -> ip -> phone): an email is redacted before the ip
+    pass can see digits inside it.
+
+    Returns {"scrubbed", "n_emails", "n_ips", "n_phones"}.
+    """
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE))
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": n_emails.cast("long"),
+        "n_ips": n_ips.cast("long"),
+        "n_phones": n_phones.cast("long"),
+    }

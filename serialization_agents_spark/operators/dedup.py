@@ -233,3 +233,131 @@ def simhash(
         ).cast("long").alias("simhash"),
     )
     return sketch
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 12,
+    paragraph_delim: str | None = None,
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup (the CCNet recipe, Wenzek et al.
+    2020 — public): split every document into units, hash each unit, keep
+    only the globally FIRST occurrence of each distinct unit (ordered by
+    (id, position)), and reassemble the surviving text per document.
+    Boilerplate paragraphs (nav bars, cookie banners, footers) repeat
+    across millions of pages and vanish here while unique prose survives.
+
+    `paragraph_delim` (a split regex, e.g. r"\\n{2,}") selects real
+    paragraph mode for corpora with layout; corpora without newlines
+    (or token streams) use fixed `chunk_words` windows over the
+    whitespace tokens — same algebra, same dedup semantics.
+
+    Scale shape: one narrow explode (each doc yields its own chunks), ONE
+    shuffle on the chunk hash for the keep-first window (hash groups are
+    duplicate-sets — tiny), and ONE shuffle back on the doc id for
+    reassembly. No self-joins, no all-pairs anything; survives 100 TB.
+
+    Returns (id, total_chunks, kept_chunks, dedup_text) — docs whose text
+    has no non-empty chunk produce no row.
+    """
+    from pyspark.sql.window import Window
+
+    if paragraph_delim is not None:
+        chunks = F.filter(
+            F.transform(
+                F.split(F.col(text_col), paragraph_delim), lambda p: F.trim(p)
+            ),
+            lambda p: p != "",
+        )
+    else:
+        toks = _tokens(F.col(text_col))
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int")
+        chunks = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_words + 1, chunk_words), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .where(F.col("chunk") != "")
+        .withColumn("chunk_hash", F.md5("chunk"))
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(F.col(id_col), F.col("chunk_idx"))
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(F.col("chunk_idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs closed under
+    transitivity via the pipeline's connected-components operator, so a
+    chain a~b~c dedupes to ONE representative even when (a, c) never
+    collide in any band. This is the step that turns pairwise dedup into
+    corpus dedup (keep one doc per component) — and it runs the exact CC
+    loop the knowledge-graph canonicalizer uses (operators/canonicalize.py),
+    giving that loop an INDEPENDENT cross-engine oracle (DuckDB recursive
+    transitive closure) on top of its composite kg_* certification.
+
+    Each candidate pair becomes a bipartite edge pair (doc -> pair-key);
+    doc ids are zero-padded to width 12 so the component representative
+    (lexicographic-min key) is also the NUMERIC min doc id. Only docs that
+    appear in at least one candidate pair are emitted — everything else is
+    trivially its own singleton.
+
+    Scale shape: pair generation is the banded LSH equi-join (never
+    all-pairs); the CC loop is candidate-scale (orders of magnitude below
+    corpus scale) with broadcast label maps and explicit entity-width
+    repartitioning.
+
+    Returns (id, cluster_rep) with cluster_rep = min doc id of the
+    component.
+    """
+    from serialization_agents_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    pairs = minhash_candidate_pairs(df, text_col, id_col, hash_fn=hash_fn)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    pair_key = F.concat(F.lit("pair:"), pad("id_a"), F.lit(":"), pad("id_b"))
+    edges = (
+        pairs.select(pad("id_a").alias("entity_key"), pair_key.alias("merge_key"))
+        .unionByName(
+            pairs.select(pad("id_b").alias("entity_key"), pair_key.alias("merge_key"))
+        )
+    )
+    labels, _iters = connected_components(edges)
+    return labels.select(
+        F.col("entity_key").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("cluster_rep"),
+    )

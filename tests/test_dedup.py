@@ -105,3 +105,65 @@ def test_simhash_locality(spark):
 
     assert sk[0] == sk[1]  # identical text -> identical sketch
     assert hamming(sk[0], sk[2]) < hamming(sk[0], sk[3])  # near < far
+
+
+def test_chunk_dedup_paragraph_mode(spark):
+    """Real paragraph mode: the shared boilerplate paragraph survives only
+    in the lowest-(doc_id, idx) occurrence; unique prose always survives."""
+    boiler = "accept cookies to continue"
+    rows = [
+        (0, f"unique first article\n\n{boiler}\n\nmore original prose"),
+        (1, f"{boiler}\n\nsecond article body"),
+        (2, "third article with nothing shared"),
+        (3, "   "),  # whitespace-only: no chunks, no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.chunk_dedup(docs, paragraph_delim=r"\n{2,}").collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["total_chunks"] == 3 and out[0]["kept_chunks"] == 3
+    assert out[1]["total_chunks"] == 2 and out[1]["kept_chunks"] == 1
+    assert out[1]["dedup_text"] == "second article body"
+    assert out[2]["kept_chunks"] == 1
+    assert boiler in out[0]["dedup_text"]  # first occurrence kept
+
+
+def test_chunk_dedup_word_window_mode(spark):
+    """Fixed word windows: an exact duplicate doc loses every chunk; the
+    keeper doc retains all of them; reassembly preserves order."""
+    text = " ".join(f"w{i}" for i in range(30))  # 3 chunks of 12/12/6
+    docs = spark.createDataFrame(
+        [(10, text), (20, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.chunk_dedup(docs).collect()}
+    assert out[10]["total_chunks"] == 3 and out[10]["kept_chunks"] == 3
+    assert out[20]["total_chunks"] == 3 and out[20]["kept_chunks"] == 0
+    assert out[10]["dedup_text"] == text.lower()
+    assert out[20]["dedup_text"] == ""
+
+
+def test_neardup_clusters_close_transitive_chains(spark):
+    """a~b and b~c but never a~c in any band -> all three still land in
+    ONE cluster with the min doc id as representative."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (7, base),
+        (8, base),  # exact dup of 7 -> pair (7, 8) guaranteed
+        (9, base.replace("today", "tomorrow")),  # near dup
+        (3, "completely different text about spark query engines and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(docs).collect()
+    }
+    clusters = {r["doc_id"]: r["cluster_rep"] for r in D.neardup_clusters(docs).collect()}
+    # every doc in a pair is labeled, and connected docs share the min id
+    in_pairs = {d for p in pairs for d in p}
+    assert set(clusters) == in_pairs
+    assert clusters[7] == 7 and clusters[8] == 7
+    if 9 in clusters:  # 9 connects through either band collision
+        assert clusters[9] == 7
+    assert 3 not in clusters  # unrelated doc joins no cluster

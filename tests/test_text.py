@@ -90,3 +90,32 @@ def test_repetition_fractions_hand_computed(spark):
     assert tuple(out[1])[1:] == (0.0, 0.0, 0.0)
     assert tuple(out[2])[1:] == (0.0, 0.0, 0.0)
     assert tuple(out[3])[1:] == (0.0, 0.0, 0.0)
+
+
+def test_pii_scrub_counts_and_order(spark):
+    """Emails go first (so the ip pass never sees their digits), then
+    ipv4, then phone-shaped numbers; counts match the replacements."""
+    from serialization_agents_spark.functions.text import pii_features
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "host 192.168.0.1 and 10.0.0.7 up"),
+        (3, "call 555-0134 re a@b.io at 8.8.8.8"),
+        (4, "no pii here at all"),
+        (5, "not-an-ip 1.2.3.4.5 still scrubs the first four octets"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = pii_features(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", p["scrubbed"].alias("s"), p["n_emails"].alias("e"),
+            p["n_ips"].alias("i"), p["n_phones"].alias("ph"),
+        ).collect()
+    }
+    assert out[1]["s"] == "mail <EMAIL> now" and out[1]["e"] == 1
+    assert out[2]["s"] == "host <IP> and <IP> up" and out[2]["i"] == 2
+    assert out[3]["s"] == "call <PHONE> re <EMAIL> at <IP>"
+    assert (out[3]["e"], out[3]["i"], out[3]["ph"]) == (1, 1, 1)
+    assert out[4]["s"] == "no pii here at all"
+    assert (out[4]["e"], out[4]["i"], out[4]["ph"]) == (0, 0, 0)
