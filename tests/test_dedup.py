@@ -167,3 +167,41 @@ def test_neardup_clusters_close_transitive_chains(spark):
     if 9 in clusters:  # 9 connects through either band collision
         assert clusters[9] == 7
     assert 3 not in clusters  # unrelated doc joins no cluster
+
+
+def test_chunk_dedup_conserves_distinct_chunks(spark):
+    """Global invariant on a seeded random corpus: exactly ONE survivor
+    per distinct chunk (sum of kept == number of distinct chunks), every
+    doc accounted for, and each reassembly is a subsequence of the doc's
+    own lowered token stream."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 60))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.chunk_dedup(docs, chunk_words=5).collect()}
+
+    # recompute chunks driver-side
+    def chunks(text):
+        toks = text.lower().split()
+        return [
+            " ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)
+        ] if toks else []
+
+    all_chunks = [c for _, t in rows for c in chunks(t)]
+    expected_docs = {i for i, t in rows if chunks(t)}
+    assert set(out) == expected_docs
+    assert sum(r["kept_chunks"] for r in out.values()) == len(set(all_chunks))
+    assert sum(r["total_chunks"] for r in out.values()) == len(all_chunks)
+    for i, t in rows:
+        if i not in out:
+            continue
+        kept = out[i]["dedup_text"].split() if out[i]["dedup_text"] else []
+        orig = t.lower().split()
+        # subsequence check
+        it = iter(orig)
+        assert all(tok in it for tok in kept), f"doc {i} reassembly broken"
