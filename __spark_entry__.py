@@ -1077,6 +1077,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_tokens",
         )
 
+    def webtext_curate(spark, sf):
+        """The full C4/CCNet curation cascade in ONE call: exact dedup ->
+        language gate -> quality gate -> repetition gate -> chunk-level
+        keep-first dedup across survivors, with a per-doc status column
+        naming the first failing gate. Composes only already-certified
+        pieces; the oracle recomposes the identical cascade in SQL.
+        Thresholds here are tuned to the synthetic corpus's feature
+        distribution (quality p05 = 0.75, dup3 p95 = 0.011) so the
+        quality AND repetition branches both fire at the sf0.01 gate;
+        the exact-dup branch only fires where the corpus has dups
+        (sf0.1+) and is pytest-covered on crafted docs."""
+        from serialization_agents_spark.operators.curate import curate_corpus
+
+        return curate_corpus(
+            _t(spark, sf, "documents"), min_quality=0.75, max_dup3=0.01
+        )
+
     def multimodal_image_features(spark, sf):
         from serialization_agents_spark.operators.multimodal import (
             extract_image_features,
@@ -1472,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_pii_scrub": text_pii_scrub,
         "text_corpus_stats": text_corpus_stats,
+        "webtext_curate": webtext_curate,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_frame_sample": multimodal_frame_sample,
@@ -1762,6 +1780,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, count(*) AS n_docs, "
             "(sum(q4)::BIGINT // count(*)) / 10000.0 AS avg_quality, "
             "sum(ws)::BIGINT AS total_tokens FROM per GROUP BY source, lang"
+        ),
+        # The curation cascade, recomposed in SQL from the same certified
+        # pieces (quality / lang-id / repetition / exact-dedup keeper /
+        # chunk keep-first over survivors). Gate thresholds compare the
+        # 4-dp-rounded values on both sides.
+        "webtext_curate": (
+            qual_cte("doc_id")
+            + ", qv AS (SELECT doc_id, "
+            + qual_expr
+            + " AS quality FROM q), "
+            f"lf AS (SELECT doc_id, {lang_counts} FROM documents), "
+            "lp AS (SELECT doc_id, CASE "
+            "WHEN s_en <= 0 AND s_de <= 0 AND s_fr <= 0 AND s_es <= 0 THEN 'und' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM lf), "
+            f"rt AS (SELECT doc_id, {toks} AS l FROM documents), "
+            "rg AS (SELECT doc_id, list_transform(range(1, len(l) - 1), "
+            "i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3 FROM rt), "
+            "r3 AS (SELECT doc_id, CASE WHEN len(g3) > 0 THEN "
+            "round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 4) "
+            "ELSE 0.0 END AS dup3 FROM rg), "
+            "k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+            "st AS (SELECT d.doc_id, lp.lang_pred, qv.quality, r3.dup3, CASE "
+            "WHEN k.doc_id IS NULL THEN 'duplicate' "
+            "WHEN lp.lang_pred <> 'en' THEN 'lang' "
+            "WHEN qv.quality < 0.75 THEN 'quality' "
+            "WHEN r3.dup3 > 0.01 THEN 'repetition' "
+            "ELSE 'kept' END AS status "
+            "FROM documents d JOIN lp USING (doc_id) JOIN qv USING (doc_id) "
+            "JOIN r3 USING (doc_id) LEFT JOIN k USING (doc_id)), "
+            f"ct AS (SELECT d.doc_id, {toks} AS w FROM documents d "
+            "JOIN st USING (doc_id) WHERE st.status = 'kept'), "
+            "cix AS (SELECT doc_id, w, unnest(range(0, "
+            "CAST(ceil(len(w) / 12.0) AS BIGINT))) AS i FROM ct WHERE len(w) > 0), "
+            "cch AS (SELECT doc_id, i AS chunk_idx, "
+            "array_to_string(w[(i*12+1):(i*12+12)], ' ') AS chunk FROM cix), "
+            "cchf AS (SELECT doc_id, chunk_idx, chunk FROM cch WHERE chunk <> ''), "
+            "cr AS (SELECT doc_id, row_number() OVER ("
+            "PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn FROM cchf), "
+            "cs AS (SELECT doc_id, count(*) AS total_chunks, "
+            "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_chunks "
+            "FROM cr GROUP BY doc_id) "
+            "SELECT st.doc_id, st.status, st.lang_pred, st.quality, "
+            "st.dup3 AS dup_3gram_fraction, "
+            "coalesce(cs.total_chunks, 0)::BIGINT AS total_chunks, "
+            "coalesce(cs.kept_chunks, 0)::BIGINT AS kept_chunks "
+            "FROM st LEFT JOIN cs USING (doc_id)"
         ),
         "multimodal_image_features": (
             _MEDIA_SQL
