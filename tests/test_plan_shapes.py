@@ -86,3 +86,28 @@ def test_kg_cache_clear_releases_and_rederives(spark):
     n2 = entry.queries()["kg_agents"](spark, SF).count()
     assert n2 == n1
     entry.kg_cache_clear()
+
+
+def test_chunk_dedup_is_two_shuffles_no_joins(spark):
+    """dedup_chunks: pruned scan -> chunk-hash Exchange -> Window ->
+    partial agg -> doc-id Exchange -> final agg. Any join or a third
+    shuffle means the keep-first algebra regressed."""
+    import re
+
+    plan = _plan(entry.queries()["dedup_chunks"](spark, SF))
+    # formatted explain prints each node in the tree AND in the details
+    # section — count the "(n) Exchange" detail headers, one per node
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "Join" not in plan and "Cartesian" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_curate_has_no_cartesian_and_prunes_columns(spark):
+    """webtext_curate: the cascade joins only on doc_id / content hash —
+    never a cartesian — and reads only (doc_id, text) from the corpus."""
+    plan = _plan(entry.queries()["webtext_curate"](spark, SF))
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for line in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert "source" not in line and "n_chars" not in line
