@@ -33,6 +33,9 @@ HEADLINE = [
     # chunk-level (CCNet-style) dedup: explode + one hash shuffle + one
     # doc-id shuffle — the paragraph-dedup workhorse of a webtext pipeline
     "dedup_chunks",
+    # the one-call filter-dedup cascade (exact dedup -> lang -> quality
+    # -> repetition -> chunk dedup) — the flagship training-data query
+    "webtext_curate",
     "ann_cosine_top3",
     "ann_ivf_top3",
     "dedup_embedding_neardup",
