@@ -1077,6 +1077,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_tokens",
         )
 
+    def text_vocab_stats(spark, sf):
+        """Corpus vocabulary table (term_freq, doc_freq per token) — the
+        tokenizer-induction / IDF input. One explode + ONE hash agg on
+        the term key; integer-only output for exact oracle parity."""
+        from serialization_agents_spark.operators.vocab import vocab_stats
+
+        return vocab_stats(_t(spark, sf, "documents"))
+
+    def corpus_sample(spark, sf):
+        """Deterministic stratified mixture sampling: keep a document iff
+        its md5(seed:doc_id) uniform deviate is below its language's
+        configured rate. A pure Column expression keyed on content ids —
+        the same rows survive at any partitioning, executor count, or
+        resume, which is what makes 100 TB mixture sampling reproducible.
+        The DuckDB oracle replays the identical md5 keep-set."""
+        from serialization_agents_spark.operators.sample import sample_corpus
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        return sample_corpus(
+            docs, rates={"en": 0.5, "de": 1.0, "zh": 0.25}, default_rate=0.1
+        )
+
     def webtext_curate(spark, sf):
         """The full C4/CCNet curation cascade in ONE call: exact dedup ->
         language gate -> quality gate -> repetition gate -> chunk-level
@@ -1489,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_pii_scrub": text_pii_scrub,
         "text_corpus_stats": text_corpus_stats,
+        "text_vocab_stats": text_vocab_stats,
+        "corpus_sample": corpus_sample,
         "webtext_curate": webtext_curate,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -1780,6 +1804,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, count(*) AS n_docs, "
             "(sum(q4)::BIGINT // count(*)) / 10000.0 AS avg_quality, "
             "sum(ws)::BIGINT AS total_tokens FROM per GROUP BY source, lang"
+        ),
+        # Inverted-index vocabulary build: identical tokenization, one
+        # GROUP BY term; integer columns only so the hash is exact.
+        "text_vocab_stats": (
+            f"WITH e AS (SELECT doc_id, unnest({toks}) AS term FROM documents) "
+            "SELECT term, count(*)::BIGINT AS term_freq, "
+            "count(DISTINCT doc_id)::BIGINT AS doc_freq "
+            "FROM e WHERE term <> '' GROUP BY term"
+        ),
+        # Deterministic stratified sampling: the deviate is the first 8
+        # hex chars of md5('sample:' || doc_id) over 2^32 — exact in
+        # binary (h/2^32), so both engines round the same double and the
+        # keep-set replays bit-for-bit.
+        "corpus_sample": (
+            "WITH u AS (SELECT doc_id, lang, "
+            "CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            "/ 4294967296.0 AS u FROM documents), "
+            "r AS (SELECT doc_id, lang, u, CASE lang WHEN 'en' THEN 0.5 "
+            "WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate FROM u) "
+            "SELECT doc_id, lang, round(u, 6) AS u FROM r WHERE u < rate"
         ),
         # The curation cascade, recomposed in SQL from the same certified
         # pieces (quality / lang-id / repetition / exact-dedup keeper /

@@ -111,3 +111,32 @@ def test_curate_has_no_cartesian_and_prunes_columns(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
     for line in (l for l in plan.splitlines() if "ReadSchema" in l):
         assert "source" not in line and "n_chars" not in line
+
+
+def test_corpus_sample_is_broadcast_scan_no_shuffle(spark):
+    """corpus_sample: a pure scan + broadcast rate lookup + filter — the
+    keep/drop decision never shuffles the corpus, and only the projected
+    columns leave the parquet scan."""
+    plan = _plan(entry.queries()["corpus_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    read_schema = [l for l in plan.splitlines() if "documents.parquet" not in l
+                   and "ReadSchema" in l]
+    doc_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in doc_schema  # untouched payload pruned
+
+
+def test_vocab_stats_two_phase_distinct_agg(spark):
+    """text_vocab_stats: one scan, then the canonical two-phase distinct
+    aggregation — Exchange on (term, doc_id) with a map-side partial,
+    then Exchange on term — and nothing else: no joins, no extra
+    shuffles. Detail headers `(N) Exchange` count physical nodes once
+    (the formatted tree repeats each node)."""
+    import re
+
+    plan = _plan(entry.queries()["text_vocab_stats"](spark, SF))
+    assert plan.count("documents.parquet") == 1
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchange == 2, f"expected 2 shuffles, plan has {n_exchange}"
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling + vocabulary statistics.
+
+The sampling property that matters at 100 TB is reproducibility: the
+keep-set must be a pure function of (seed, id) — identical across
+partitioning, executor counts, and resumes — because downstream dedup
+and mixture bookkeeping assume a document's membership never flips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serialization_agents_spark.operators.sample import sample_corpus, uniform_hash
+from serialization_agents_spark.operators.vocab import vocab_stats
+
+
+def _docs(spark, n=400, parts=4):
+    return spark.range(n).repartition(parts).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_sample_keep_set_is_partitioning_invariant(spark):
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.2}
+    a = sample_corpus(_docs(spark, parts=1), rates)
+    b = sample_corpus(_docs(spark, parts=13), rates)
+    kept_a = sorted(r.doc_id for r in a.collect())
+    kept_b = sorted(r.doc_id for r in b.collect())
+    assert kept_a == kept_b
+    assert 0 < len(kept_a) < 400
+
+
+def test_sample_rates_respected(spark):
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    kept = sample_corpus(_docs(spark, n=900), rates).groupBy("lang").count()
+    by_lang = {r.lang: r["count"] for r in kept.collect()}
+    assert by_lang.get("de") == 300  # rate 1.0 keeps every row
+    assert "fr" not in by_lang  # rate 0.0 keeps none
+    assert 90 <= by_lang.get("en", 0) <= 210  # ~150 expected at 0.5
+
+
+def test_sample_default_rate_and_seed(spark):
+    docs = _docs(spark)
+    none_kept = sample_corpus(docs, rates={}, default_rate=0.0)
+    assert none_kept.count() == 0
+    s1 = {r.doc_id for r in sample_corpus(docs, {"en": 0.5}, seed="a").collect()}
+    s2 = {r.doc_id for r in sample_corpus(docs, {"en": 0.5}, seed="b").collect()}
+    assert s1 != s2  # different seeds draw different keep-sets
+
+
+def test_uniform_hash_matches_python_md5(spark):
+    import hashlib
+
+    rows = spark.range(20).select(
+        F.col("id"), uniform_hash(F.col("id"), seed="s").alias("u")
+    ).collect()
+    for r in rows:
+        h = int(hashlib.md5(f"s:{r.id}".encode()).hexdigest()[:8], 16)
+        assert abs(r.u - h / float(1 << 32)) < 1e-12
+
+
+def test_vocab_stats_conservation(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b b d"), (2, ""), (3, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r.term: r for r in vocab_stats(docs).collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    assert rows["a"].term_freq == 3 and rows["a"].doc_freq == 2
+    assert rows["b"].term_freq == 3 and rows["b"].doc_freq == 2
+    assert rows["c"].term_freq == 1 and rows["c"].doc_freq == 1
+    # conservation: total term_freq == total non-empty whitespace tokens
+    assert sum(r.term_freq for r in rows.values()) == 8
+
+
+def test_vocab_stats_min_doc_freq(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    terms = {r.term for r in vocab_stats(docs, min_doc_freq=2).collect()}
+    assert terms == {"a"}
