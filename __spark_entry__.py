@@ -150,6 +150,48 @@ def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# URL-keyed crawl captures for the urls.py operator family: deterministic
+# scheme/www/port/tracking-param/fragment variants of logical pages, derived
+# purely from doc_id so DuckDB rebuilds the identical table. Logical page =
+# doc_id DIV 2 (two captures per page; the later warc_ts wins the dedup);
+# registered domain = site{page % 23}.example; text = repeat('w ', 5+3*dom)
+# so every domain's average token count is EXACTLY 5+3*dom and the domain
+# gate discriminates identically at every scale factor.
+# ---------------------------------------------------------------------------
+def _url_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    page = F.expr("doc_id DIV 2")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.format_string("site%d.example", page % 23),
+        F.when(
+            d % 9 == 0,
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.format_string("/articles/item-%d", page),
+        F.when((d % 8 == 3) & (page % 5 != 0), F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            (page % 5 == 0) & (d % 4 == 0),
+            F.format_string("?utm_campaign=w17&q=%d", page % 7),
+        )
+        .when(page % 5 == 0, F.format_string("?q=%d", page % 7))
+        .when(d % 4 == 0, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 1, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        (F.lit(1704067200) + d * 7).alias("warc_ts"),
+        F.expr("repeat('w ', CAST(5 + ((doc_id DIV 2) % 23) * 3 AS INT))").alias(
+            "text"
+        ),
+    )
+
+
 def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority dimension derived from `customer`.
 
@@ -1099,6 +1141,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, rates={"en": 0.5, "de": 1.0, "zh": 0.25}, default_rate=0.1
         )
 
+    def text_decontaminate(spark, sf):
+        """Benchmark-decontamination report: corpus docs sharing any
+        3-gram with a benchmark suite (here: the deterministic
+        doc_id % 41 == 0 slice standing in for an eval set). Benchmark
+        grams broadcast; the only shuffle is the per-doc hit agg."""
+        from serialization_agents_spark.operators.contamination import (
+            contamination_report,
+        )
+
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 41 == 0).select("text")
+        return contamination_report(docs, bench)
+
+    def text_bpe_pair_stats(spark, sf):
+        """Adjacent-token-pair frequency table (one BPE induction
+        iteration): narrow pair transform + ONE hash agg on the pair."""
+        from serialization_agents_spark.operators.vocab import bpe_pair_stats
+
+        return bpe_pair_stats(_t(spark, sf, "documents"))
+
+    def url_dedup_latest(spark, sf):
+        """Canonical-URL latest-capture dedup (the first pass of a crawl
+        pipeline): normalize scheme/www/port/tracking/fragment variants
+        to one canonical key, keep the newest capture per key. ONE
+        shuffle on canon_url shared by both window functions."""
+        from serialization_agents_spark.operators.urls import dedup_latest_capture
+
+        kept = dedup_latest_capture(_url_captures(spark, sf))
+        return kept.select(
+            "canon_url",
+            F.col("url").alias("kept_url"),
+            F.col("warc_ts").alias("kept_ts"),
+            "n_captures",
+        )
+
+    def url_domain_stats(spark, sf):
+        """Per-registered-domain rollup (page/canonical counts, token
+        totals, latest capture) — the input table of a FineWeb-style
+        domain-level curation gate. One hash agg on the domain key."""
+        from serialization_agents_spark.operators.urls import domain_stats
+
+        return domain_stats(_url_captures(spark, sf))
+
+    def url_domain_filter(spark, sf):
+        """Domain-level corpus gate: keep pages whose registered domain
+        has >= 2 captures AND integer-average >= 35 tokens/page. The
+        stats side aggregates once and broadcasts back — the per-page
+        verdict is a broadcast hash join, never a second corpus
+        shuffle."""
+        from serialization_agents_spark.operators.urls import domain_filter
+
+        return domain_filter(
+            _url_captures(spark, sf), min_pages=2, min_avg_tokens=35
+        ).select("doc_id", "domain")
+
     def webtext_curate(spark, sf):
         """The full C4/CCNet curation cascade in ONE call: exact dedup ->
         language gate -> quality gate -> repetition gate -> chunk-level
@@ -1513,6 +1610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": text_corpus_stats,
         "text_vocab_stats": text_vocab_stats,
         "corpus_sample": corpus_sample,
+        "text_decontaminate": text_decontaminate,
+        "text_bpe_pair_stats": text_bpe_pair_stats,
+        "url_dedup_latest": url_dedup_latest,
+        "url_domain_stats": url_domain_stats,
+        "url_domain_filter": url_domain_filter,
         "webtext_curate": webtext_curate,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
@@ -1598,6 +1700,35 @@ def oracle_sql() -> dict[str, str]:
         PII_IPV4,
         PII_PHONE,
     )
+    from serialization_agents_spark.operators.urls import (
+        canonical_url_sql,
+        registered_domain_sql,
+    )
+
+    # The _url_captures generator, rebuilt in SQL (pure doc_id arithmetic),
+    # plus the shared canonicalization chain from CANONICAL_STEPS.
+    url_caps_cte = (
+        "WITH captures AS (SELECT doc_id, concat("
+        "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+        "'site' || ((doc_id // 2) % 23) || '.example', "
+        "CASE WHEN doc_id % 9 = 0 THEN "
+        "(CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END, "
+        "'/articles/item-' || (doc_id // 2), "
+        "CASE WHEN doc_id % 8 = 3 AND (doc_id // 2) % 5 <> 0 THEN '/' ELSE '' END, "
+        "CASE WHEN (doc_id // 2) % 5 = 0 AND doc_id % 4 = 0 "
+        "THEN '?utm_campaign=w17&q=' || ((doc_id // 2) % 7) "
+        "WHEN (doc_id // 2) % 5 = 0 THEN '?q=' || ((doc_id // 2) % 7) "
+        "WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END, "
+        "CASE WHEN doc_id % 6 = 1 THEN '#section-2' ELSE '' END"
+        ") AS url, 1704067200 + doc_id * 7 AS warc_ts, "
+        "repeat('w ', CAST(5 + ((doc_id // 2) % 23) * 3 AS INT)) AS text "
+        "FROM documents), "
+        "url_canon AS (SELECT doc_id, url, warc_ts, text, "
+        f"{canonical_url_sql('url')} AS canon_url FROM captures)"
+    )
+    url_dom = registered_domain_sql("canon_url")
+    url_ntok = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END"
 
     return {
         "s2_minmax_probe": "SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders",
@@ -1824,6 +1955,49 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, u, CASE lang WHEN 'en' THEN 0.5 "
             "WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate FROM u) "
             "SELECT doc_id, lang, round(u, 6) AS u FROM r WHERE u < rate"
+        ),
+        # Contamination: same token/shingle fragments as the minhash
+        # oracles, benchmark = the doc_id % 41 slice.
+        "text_decontaminate": (
+            f"WITH wt AS (SELECT doc_id, {toks} AS w FROM documents), "
+            f"shl AS (SELECT doc_id, {shingle_sql} AS sh FROM wt), "
+            "bg AS (SELECT DISTINCT unnest(sh) AS gram FROM shl "
+            "WHERE doc_id % 41 = 0), "
+            "cg AS (SELECT doc_id, unnest(sh) AS gram FROM shl) "
+            "SELECT cg.doc_id, count(DISTINCT cg.gram)::BIGINT AS n_hits "
+            "FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id"
+        ),
+        "text_bpe_pair_stats": (
+            f"WITH wt AS (SELECT {toks} AS w FROM documents), "
+            "p AS (SELECT unnest(list_transform(range(1, len(w)), "
+            "i -> {'l': w[i], 'r': w[i+1]})) AS p FROM wt WHERE len(w) >= 2) "
+            "SELECT p.l AS tok_left, p.r AS tok_right, "
+            "count(*) AS pair_freq FROM p GROUP BY 1, 2"
+        ),
+        "url_dedup_latest": (
+            url_caps_cte + ", r AS (SELECT canon_url, url, warc_ts, "
+            "row_number() OVER (PARTITION BY canon_url "
+            "ORDER BY warc_ts DESC, url ASC) AS rn, "
+            "count(*) OVER (PARTITION BY canon_url) AS n_captures FROM url_canon) "
+            "SELECT canon_url, url AS kept_url, warc_ts AS kept_ts, n_captures "
+            "FROM r WHERE rn = 1"
+        ),
+        "url_domain_stats": (
+            url_caps_cte + f", dd AS (SELECT {url_dom} AS domain, canon_url, "
+            f"{url_ntok} AS n_tokens, warc_ts AS ts_epoch FROM url_canon) "
+            "SELECT domain, count(*) AS n_pages, "
+            "count(DISTINCT canon_url) AS n_canonical, "
+            "sum(n_tokens)::BIGINT AS total_tokens, "
+            "max(ts_epoch) AS latest_ts_epoch FROM dd GROUP BY domain"
+        ),
+        "url_domain_filter": (
+            url_caps_cte + f", dd AS (SELECT doc_id, {url_dom} AS domain, "
+            f"{url_ntok} AS n_tokens FROM url_canon), "
+            "s AS (SELECT domain, count(*) AS n_pages, "
+            "sum(n_tokens)::BIGINT AS total_tokens FROM dd GROUP BY domain), "
+            "good AS (SELECT domain FROM s "
+            "WHERE n_pages >= 2 AND total_tokens // n_pages >= 35) "
+            "SELECT dd.doc_id, dd.domain FROM dd JOIN good USING (domain)"
         ),
         # The curation cascade, recomposed in SQL from the same certified
         # pieces (quality / lang-id / repetition / exact-dedup keeper /

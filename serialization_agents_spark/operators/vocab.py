@@ -50,3 +50,47 @@ def vocab_stats(
     if min_doc_freq > 1:
         agg = agg.where(F.col("doc_freq") >= min_doc_freq)
     return agg
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_freq: int = 1,
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the merge-candidate table of
+    one BPE induction iteration over a whitespace-pre-tokenized corpus.
+
+    Returns (tok_left, tok_right, pair_freq), one row per distinct
+    adjacent pair. Documents with < 2 tokens contribute nothing (the
+    pair array is NULL and explode drops the row).
+
+    Scale shape: the pair array is a narrow per-row transform (no
+    shuffle), then ONE hash aggregation on the pair key with map-side
+    partial combine — the same inverted-index shape as `vocab_stats`.
+    The real BPE loop re-runs this after each merge; each iteration
+    stays a single shuffle, which is what makes corpus-scale BPE
+    induction tractable (the alternative — driver-side counting — is
+    exactly the collect() anti-pattern).
+    """
+    toks = tokens(F.col(text_col))
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("tok_left"),
+                F.element_at(toks, i + 2).alias("tok_right"),
+            ),
+        ),
+    )
+    agg = (
+        docs.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.tok_left").alias("tok_left"),
+            F.col("p.tok_right").alias("tok_right"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_freq"))
+    )
+    if min_pair_freq > 1:
+        agg = agg.where(F.col("pair_freq") >= min_pair_freq)
+    return agg
