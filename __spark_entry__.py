@@ -1141,6 +1141,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, rates={"en": 0.5, "de": 1.0, "zh": 0.25}, default_rate=0.1
         )
 
+    def kg_pagerank(spark, sf):
+        """Fixed-point integer PageRank (3 iterations) over a
+        deterministic doc_id-derived functional graph on 101 nodes —
+        certifies the iterative join+agg loop against a DuckDB
+        unrolled-CTE replay. Integer (DIV) arithmetic throughout so the
+        distributed sum order can never perturb the result."""
+        from serialization_agents_spark.operators.graph import pagerank
+
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents").select("doc_id")
+        e1 = docs.select(
+            (d % 101).alias("src"), ((d * 7 + 3) % 101).alias("dst")
+        )
+        e2 = docs.select(
+            (d % 101).alias("src"), ((d * d * 13 + 5) % 101).alias("dst")
+        )
+        return pagerank(e1.union(e2), iterations=3).select(
+            "node", F.col("rank").alias("rank_fp")
+        )
+
+    def o5_asof_join(spark, sf):
+        """Point-in-time as-of join: each purchase event matched to the
+        user's latest view at-or-before it (union-window form — one
+        shuffle on user_id, O(1) running state; never a range join)."""
+        from serialization_agents_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            # exact integer micros, as in o4 (session TZ is UTC, so the
+            # NTZ->TZ cast is the identity)
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "tsu"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", "tsu"
+        )
+        j = asof_join(
+            purchases, views, on="user_id", left_ts="tsu", right_ts="tsu",
+            tiebreak="view_id",
+        )
+        return j.select(
+            "event_id",
+            "user_id",
+            F.col("tsu").alias("purchase_ts"),
+            F.col("asof_view_id").alias("view_id"),
+            F.col("asof_tsu").alias("view_ts"),
+        )
+
     def text_decontaminate(spark, sf):
         """Benchmark-decontamination report: corpus docs sharing any
         3-gram with a benchmark suite (here: the deterministic
@@ -1153,6 +1205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         bench = docs.where(F.col("doc_id") % 41 == 0).select("text")
         return contamination_report(docs, bench)
+
+    def text_tfidf_topk(spark, sf):
+        """Per-doc top-3 tf-idf terms. idf is 4dp-rounded before the
+        multiply so ranking can't hinge on a sub-ulp libm difference
+        between engines; ties break on term."""
+        from serialization_agents_spark.operators.vocab import tfidf_topk
+
+        return tfidf_topk(_t(spark, sf, "documents"), k=3)
 
     def text_bpe_pair_stats(spark, sf):
         """Adjacent-token-pair frequency table (one BPE induction
@@ -1610,7 +1670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": text_corpus_stats,
         "text_vocab_stats": text_vocab_stats,
         "corpus_sample": corpus_sample,
+        "kg_pagerank": kg_pagerank,
+        "o5_asof_join": o5_asof_join,
         "text_decontaminate": text_decontaminate,
+        "text_tfidf_topk": text_tfidf_topk,
         "text_bpe_pair_stats": text_bpe_pair_stats,
         "url_dedup_latest": url_dedup_latest,
         "url_domain_stats": url_domain_stats,
@@ -1956,6 +2019,50 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate FROM u) "
             "SELECT doc_id, lang, round(u, 6) AS u FROM r WHERE u < rate"
         ),
+        # Fixed-point PageRank: 3 iterations unrolled as chained CTEs;
+        # pure integer arithmetic (// and *17//20 damping) replays the
+        # Spark loop exactly regardless of reduction order.
+        "kg_pagerank": (
+            "WITH e AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst "
+            "FROM documents UNION ALL "
+            "SELECT doc_id % 101, (doc_id * doc_id * 13 + 5) % 101 "
+            "FROM documents)), "
+            "nodes AS (SELECT DISTINCT src AS node FROM e "
+            "UNION SELECT DISTINCT dst FROM e), "
+            "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+            "r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes), "
+            + " ".join(
+                f"c{i} AS (SELECT dst, sum(r // deg)::BIGINT AS s FROM e "
+                f"JOIN deg USING (src) JOIN r{i - 1} ON r{i - 1}.node = e.src "
+                "GROUP BY dst), "
+                f"r{i} AS (SELECT node, "
+                "(150000 + coalesce(s, 0) * 17 // 20)::BIGINT AS r "
+                f"FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node),"
+                for i in (1, 2, 3)
+            ).rstrip(",")
+            + " SELECT node, r AS rank_fp FROM r3"
+        ),
+        # As-of join, replayed with the identical union-window algebra
+        # (rights sort before lefts at equal ts; right ties resolve to
+        # the max tiebreak).
+        "o5_asof_join": (
+            "WITH ev AS (SELECT event_id, user_id, event_type, "
+            "epoch_us(ts) AS tsu FROM events), "
+            "u AS (SELECT user_id, tsu AS sts, 1 AS side, "
+            "NULL::BIGINT AS tie, event_id, tsu, "
+            "NULL::BIGINT AS r_view, NULL::BIGINT AS r_tsu "
+            "FROM ev WHERE event_type = 'purchase' "
+            "UNION ALL SELECT user_id, tsu, 0, event_id, NULL, NULL, "
+            "event_id, tsu FROM ev WHERE event_type = 'view'), "
+            "w AS (SELECT *, last_value(r_view IGNORE NULLS) OVER win AS m_view, "
+            "last_value(r_tsu IGNORE NULLS) OVER win AS m_tsu FROM u "
+            "WINDOW win AS (PARTITION BY user_id "
+            "ORDER BY sts ASC, side ASC, tie ASC NULLS LAST "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, user_id, sts AS purchase_ts, "
+            "m_view AS view_id, m_tsu AS view_ts FROM w WHERE side = 1"
+        ),
         # Contamination: same token/shingle fragments as the minhash
         # oracles, benchmark = the doc_id % 41 slice.
         "text_decontaminate": (
@@ -1966,6 +2073,22 @@ def oracle_sql() -> dict[str, str]:
             "cg AS (SELECT doc_id, unnest(sh) AS gram FROM shl) "
             "SELECT cg.doc_id, count(DISTINCT cg.gram)::BIGINT AS n_hits "
             "FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id"
+        ),
+        # tf-idf: idf rounded to 4dp before the multiply (both engines),
+        # so a sub-ulp ln() difference cannot flip a ranking.
+        "text_tfidf_topk": (
+            f"WITH ex AS (SELECT doc_id, unnest({toks}) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM ex "
+            "WHERE term <> '' GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf "
+            "GROUP BY term), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, round(tf.tf * "
+            "round(ln((SELECT n FROM n)::DOUBLE / df), 4), 4) AS score "
+            "FROM tf JOIN dfreq USING (term)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term ASC) AS rank FROM s) "
+            "SELECT doc_id, term, score, rank FROM r WHERE rank <= 3"
         ),
         "text_bpe_pair_stats": (
             f"WITH wt AS (SELECT {toks} AS w FROM documents), "

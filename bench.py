@@ -36,6 +36,10 @@ HEADLINE = [
     # the one-call filter-dedup cascade (exact dedup -> lang -> quality
     # -> repetition -> chunk dedup) — the flagship training-data query
     "webtext_curate",
+    # crawl-capture canonical-URL dedup (window keep-latest, one shuffle)
+    "url_dedup_latest",
+    # benchmark decontamination (gram explode + broadcast probe + one agg)
+    "text_decontaminate",
     "ann_cosine_top3",
     "ann_ivf_top3",
     "dedup_embedding_neardup",

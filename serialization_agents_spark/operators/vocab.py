@@ -52,6 +52,54 @@ def vocab_stats(
     return agg
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf: (doc_id, term, score, rank).
+
+    idf = ln(N/df) rounded to 4dp BEFORE the tf multiply, and the
+    product rounded to 4dp again — ranking and output both use the
+    coarsened value, so a sub-ulp libm difference between engines
+    cannot flip an ordering. Ties break on term ascending.
+
+    Scale shape: explode -> hash agg on (doc_id, term) for tf; doc_freq
+    derives from tf (one agg on term — never a second corpus scan); the
+    doc_freq side joins back broadcast (after the min_doc_freq cut a
+    web-scale vocabulary is ~10^7 rows — broadcastable; raise the cut,
+    not the join strategy, when it is not); final top-k is one
+    row_number window on doc_id. N comes from one count() — at scale,
+    table statistics."""
+    from pyspark.sql.window import Window
+
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    if min_doc_freq > 1:
+        dfreq = dfreq.where(F.col("doc_freq") >= min_doc_freq)
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 4)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 4).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
 def bpe_pair_stats(
     docs: DataFrame,
     text_col: str = "text",

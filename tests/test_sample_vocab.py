@@ -83,3 +83,43 @@ def test_vocab_stats_min_doc_freq(spark):
     )
     terms = {r.term for r in vocab_stats(docs, min_doc_freq=2).collect()}
     assert terms == {"a"}
+
+
+def test_tfidf_topk_ranking_and_ties(spark):
+    from serialization_agents_spark.operators.vocab import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare rare common"),
+            (1, "common common common other"),
+            (2, "common zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r.doc_id, r.term, r.rank)
+        for r in tfidf_topk(docs, k=2).orderBy("doc_id", "rank").collect()
+    ]
+    # 'common' appears in all 3 docs -> idf = ln(1) = 0 -> score 0;
+    # unique terms (idf ln 3) dominate; zero-score ties break on term asc.
+    assert rows[0] == (0, "rare", 1) and rows[1] == (0, "common", 2)
+    assert rows[2] == (1, "other", 1) and rows[3] == (1, "common", 2)
+    assert rows[4] == (2, "zebra", 1) and rows[5] == (2, "common", 2)
+    scores = {
+        (r.doc_id, r.term): r.score for r in tfidf_topk(docs, k=2).collect()
+    }
+    assert scores[(0, "common")] == 0.0
+    assert scores[(0, "rare")] == round(2 * round(__import__("math").log(3), 4), 4)
+
+
+def test_bpe_pair_stats_conservation(spark):
+    """Total pair_freq == total tokens - docs-with->=2-tokens (each doc
+    of t tokens yields t-1 pairs)."""
+    from serialization_agents_spark.operators.vocab import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x y"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    total = sum(r.pair_freq for r in bpe_pair_stats(docs).collect())
+    assert total == 3 + 1
