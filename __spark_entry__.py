@@ -1141,6 +1141,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, rates={"en": 0.5, "de": 1.0, "zh": 0.25}, default_rate=0.1
         )
 
+    def a8_rollup_counts(spark, sf):
+        """ROLLUP subtotals over (source, lang) with grouping_id — the
+        grouping-sets surface (one pass; Spark expands the sets in the
+        Expand operator, still a single shuffle)."""
+        docs = _t(spark, sf, "documents")
+        return docs.rollup("source", "lang").agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    def o6_trailing_window(spark, sf):
+        """Trailing 1-hour RANGE-frame window per user: event count and
+        exact integer-cents value sum (doubles are summed NOWHERE —
+        segment-tree vs running-sum float orderings would diverge)."""
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("tsu")
+            .rangeBetween(-3600 * 1_000_000, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            "tsu",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum("cents").over(w).alias("cents_1h"),
+        )
+
     def kg_pagerank(spark, sf):
         """Fixed-point integer PageRank (3 iterations) over a
         deterministic doc_id-derived functional graph on 101 nodes —
@@ -1670,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": text_corpus_stats,
         "text_vocab_stats": text_vocab_stats,
         "corpus_sample": corpus_sample,
+        "a8_rollup_counts": a8_rollup_counts,
+        "o6_trailing_window": o6_trailing_window,
         "kg_pagerank": kg_pagerank,
         "o5_asof_join": o5_asof_join,
         "text_decontaminate": text_decontaminate,
@@ -2018,6 +2054,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, u, CASE lang WHEN 'en' THEN 0.5 "
             "WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate FROM u) "
             "SELECT doc_id, lang, round(u, 6) AS u FROM r WHERE u < rate"
+        ),
+        # ROLLUP with the same GROUPING bit encoding in both engines.
+        "a8_rollup_counts": (
+            "SELECT source, lang, GROUPING(source, lang)::BIGINT AS gid, "
+            "count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "
+            "FROM documents GROUP BY ROLLUP (source, lang)"
+        ),
+        "o6_trailing_window": (
+            "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+            "round(value * 100)::BIGINT AS cents FROM events) "
+            "SELECT event_id, user_id, tsu, "
+            "count(*) OVER w AS n_1h, sum(cents) OVER w AS cents_1h FROM ev "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         # Fixed-point PageRank: 3 iterations unrolled as chained CTEs;
         # pure integer arithmetic (// and *17//20 damping) replays the

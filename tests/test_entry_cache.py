@@ -42,3 +42,16 @@ def test_kg_cache_clear_drains_checkpoint_blocks(spark):
     after = _cached_rdd_ids(spark)
     leaked = after - before
     assert not leaked, f"pipeline storage leaked after clear: {leaked}"
+
+
+def test_every_oracle_key_has_a_query():
+    """Driver contract: an oracle_sql row without a queries() entry is
+    dead SQL the gate never runs — catch the drift at pytest time."""
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+    # and the intentionally-weaker rows-only set stays small and known
+    # (xxhash64 signatures are not replayable in DuckDB by design)
+    assert sorted(q - o) == ["dedup_minhash_pairs_prod"]
