@@ -66,8 +66,15 @@ def tfidf_topk(
     coarsened value, so a sub-ulp libm difference between engines
     cannot flip an ordering. Ties break on term ascending.
 
-    Scale shape: explode -> hash agg on (doc_id, term) for tf; doc_freq
-    derives from tf (one agg on term — never a second corpus scan); the
+    Scale shape: explode -> hash agg on (doc_id, term) for tf, then tf
+    is localCheckpointed ONCE — it feeds both the doc_freq aggregate
+    and the join probe, and without the materialization Catalyst plans
+    the whole corpus scan + explode + agg TWICE (ReuseExchange does not
+    fire across the branches). doc_freq is a plain count on the term
+    key (tf is unique per (doc_id, term); countDistinct would re-shuffle
+    (term, doc_id) for nothing) — an AGGREGATE, not a term-window,
+    because hot stopword terms make a window group O(corpus) on one
+    reducer while the agg's map-side combine flattens them. The
     doc_freq side joins back broadcast (after the min_doc_freq cut a
     web-scale vocabulary is ~10^7 rows — broadcastable; raise the cut,
     not the join strategy, when it is not); final top-k is one
@@ -79,9 +86,13 @@ def tfidf_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).where(F.col("term") != "")
-    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.count()
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     if min_doc_freq > 1:
         dfreq = dfreq.where(F.col("doc_freq") >= min_doc_freq)
     idf = F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 4)

@@ -140,3 +140,36 @@ def test_vocab_stats_two_phase_distinct_agg(spark):
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchange == 2, f"expected 2 shuffles, plan has {n_exchange}"
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_url_dedup_reads_only_doc_id_one_exchange(spark):
+    """The capture generator is pure doc_id arithmetic, so the parquet
+    scan must prune to ONE column, and both dedup window functions must
+    share a single canon_url Exchange."""
+    import re
+
+    plan = _plan(entry.queries()["url_dedup_latest"](spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_asof_entry_is_one_exchange_no_join(spark):
+    import re
+
+    plan = _plan(entry.queries()["o5_asof_join"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Join" not in plan
+
+
+def test_tfidf_no_double_scan_broadcast_only(spark):
+    """tf is localCheckpointed, so the plan downstream of it must show
+    NO parquet scan (the corpus is read and exploded exactly once) and
+    only two Exchanges: the doc_freq agg on term and the top-k window
+    on doc_id. The doc_freq join back must broadcast."""
+    import re
+
+    plan = _plan(entry.queries()["text_tfidf_topk"](spark, SF))
+    assert "Scan parquet" not in plan  # corpus scanned once, pre-checkpoint
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
