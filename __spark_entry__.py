@@ -1175,6 +1175,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("cents").over(w).alias("cents_1h"),
         )
 
+    def o7_sliding_window(spark, sf):
+        """Hopping-window aggregation (10-min windows, 5-min hop): each
+        event lands in exactly two windows. Certifies F.window's sliding
+        semantics; the oracle materializes both window starts per event.
+        Exact integer-cents sums only."""
+        ev = _t(spark, sf, "events").select(
+            F.col("ts").cast("timestamp").alias("tst"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        return (
+            ev.groupBy(
+                F.window("tst", "10 minutes", "5 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents_sum"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("w_start"),
+                "event_type",
+                "n",
+                "cents_sum",
+            )
+        )
+
+    def o8_percentiles(spark, sf):
+        """Exact linear-interpolation quartiles of integer cents per
+        event_type. p in {.25,.5,.75} makes (n-1)*p and the lo+(hi-lo)*f
+        interpolation EXACT binary arithmetic — both engines produce the
+        identical double, no rounding games needed."""
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        pct = F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))")
+        return ev.groupBy("event_type").agg(
+            pct.getItem(0).alias("p25"),
+            pct.getItem(1).alias("p50"),
+            pct.getItem(2).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
     def kg_pagerank(spark, sf):
         """Fixed-point integer PageRank (3 iterations) over a
         deterministic doc_id-derived functional graph on 101 nodes —
@@ -1706,6 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": corpus_sample,
         "a8_rollup_counts": a8_rollup_counts,
         "o6_trailing_window": o6_trailing_window,
+        "o7_sliding_window": o7_sliding_window,
+        "o8_percentiles": o8_percentiles,
         "kg_pagerank": kg_pagerank,
         "o5_asof_join": o5_asof_join,
         "text_decontaminate": text_decontaminate,
@@ -2068,6 +2114,28 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER w AS n_1h, sum(cents) OVER w AS cents_1h FROM ev "
             "WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
             "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        # Sliding window: every event belongs to exactly two 10-min/5-min
+        # hop windows; the oracle materializes both starts per event.
+        "o7_sliding_window": (
+            "WITH ev AS (SELECT epoch_us(ts) AS tu, event_type, "
+            "round(value * 100)::BIGINT AS cents FROM events), "
+            "w AS (SELECT unnest([(tu // 300000000) * 300000000, "
+            "(tu // 300000000) * 300000000 - 300000000]) AS w_start, "
+            "event_type, cents FROM ev) "
+            "SELECT w_start, event_type, count(*) AS n, "
+            "sum(cents)::BIGINT AS cents_sum FROM w "
+            "GROUP BY w_start, event_type"
+        ),
+        # Quartiles over integer cents: p in {.25,.5,.75} keeps the
+        # linear interpolation exact in binary on both engines.
+        "o8_percentiles": (
+            "WITH ev AS (SELECT event_type, "
+            "round(value * 100)::BIGINT AS cents FROM events) "
+            "SELECT event_type, quantile_cont(cents, 0.25) AS p25, "
+            "quantile_cont(cents, 0.5) AS p50, "
+            "quantile_cont(cents, 0.75) AS p75, count(*) AS n "
+            "FROM ev GROUP BY event_type"
         ),
         # Fixed-point PageRank: 3 iterations unrolled as chained CTEs;
         # pure integer arithmetic (// and *17//20 damping) replays the
