@@ -1239,6 +1239,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", F.col("rank").alias("rank_fp")
         )
 
+    def kg_cooccurrence(spark, sf):
+        """Co-mention relatedness edges over the linked-mention layer:
+        (a, b, co_pages) for every entity pair sharing a page, per-page
+        agent set capped at 16 (deterministic smallest-key cap — bounds
+        listy hub pages to C(16,2) pairs at 10^12-doc scale). No
+        self-join: one groupBy(url) shuffle, two narrow posexplodes, one
+        pair aggregation with map-side combine."""
+        from serialization_agents_spark.operators.graph import cooccurrence_edges
+        from serialization_agents_spark.operators.linking import link_mentions
+
+        linked, _ = link_mentions(
+            _kg_mentions(spark, sf),
+            _kg_authority(spark, sf),
+            redirects=_kg_redirects(spark, sf),
+        )
+        return cooccurrence_edges(linked, doc_col="url", key_col="entity_key")
+
     def o5_asof_join(spark, sf):
         """Point-in-time as-of join: each purchase event matched to the
         user's latest view at-or-before it (union-window form — one
@@ -1753,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o7_sliding_window": o7_sliding_window,
         "o8_percentiles": o8_percentiles,
         "kg_pagerank": kg_pagerank,
+        "kg_cooccurrence": kg_cooccurrence,
         "o5_asof_join": o5_asof_join,
         "text_decontaminate": text_decontaminate,
         "text_tfidf_topk": text_tfidf_topk,
@@ -2160,6 +2178,24 @@ def oracle_sql() -> dict[str, str]:
                 for i in (1, 2, 3)
             ).rstrip(",")
             + " SELECT node, r AS rank_fp FROM r3"
+        ),
+        # Co-mention edges: the capped sorted-set pair expansion replayed
+        # as row_number <= 16 + an a < b self-join (ASCII keys, so the
+        # string sort orders identically in both engines).
+        "kg_cooccurrence": (
+            _KG_SQL_BASE
+            + """,
+dm AS (SELECT DISTINCT url, entity_key FROM linked),
+capped AS (
+  SELECT url, entity_key FROM (
+    SELECT url, entity_key,
+           row_number() OVER (PARTITION BY url ORDER BY entity_key) AS rn
+    FROM dm) t
+  WHERE rn <= 16
+)
+SELECT x.entity_key AS a, y.entity_key AS b, count(*) AS co_pages
+FROM capped x JOIN capped y ON x.url = y.url AND x.entity_key < y.entity_key
+GROUP BY 1, 2"""
         ),
         # As-of join, replayed with the identical union-window algebra
         # (rights sort before lefts at equal ts; right ties resolve to

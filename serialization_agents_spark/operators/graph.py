@@ -35,6 +35,47 @@ SCALE = 1_000_000
 BASE = 150_000  # 0.15 * SCALE
 
 
+def cooccurrence_edges(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    key_col: str = "entity_key",
+    cap: int = 16,
+) -> DataFrame:
+    """(a, b, co_pages) relatedness edges: entity pairs co-mentioned in
+    the same document, counted by document.
+
+    This materializes the co-mention edge set the triples table implies
+    but never stores — the standard relatedness signal a KG derives from
+    its mention layer (the reference stops at per-agent aggregation;
+    this is graph construction over its output, like pagerank above).
+
+    Scale design (10^12 docs):
+    - One shuffle groups mentions by document; the per-document agent
+      set is sorted and CAPPED at `cap` (keeping the `cap` smallest
+      keys — deterministic, engine-independent). Listy hub pages would
+      otherwise emit O(k^2) pairs; the cap bounds any document at
+      C(cap, 2) pairs, so the explode stays linear in documents.
+    - Pair generation is two narrow posexplodes + a j > i filter —
+      JVM-side, no self-join, no second scan of the mention table.
+    - The final groupBy(a, b) is the only other shuffle; celebrity
+      pairs (skewed heads) partial-aggregate map-side before it.
+    """
+    per_doc = (
+        mentions.select(F.col(doc_col).alias("doc"), F.col(key_col).alias("k"))
+        .distinct()
+        .groupBy("doc")
+        .agg(F.slice(F.sort_array(F.collect_set("k")), 1, cap).alias("ks"))
+        .where(F.size("ks") >= 2)
+    )
+    return (
+        per_doc.select("doc", "ks", F.posexplode("ks").alias("i", "a"))
+        .select("doc", "i", "a", F.posexplode("ks").alias("j", "b"))
+        .where(F.col("j") > F.col("i"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("co_pages"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

@@ -54,3 +54,63 @@ def test_partitioning_invariance(spark):
     a = _ranks(pagerank(e.repartition(7), iterations=3))
     b = _ranks(pagerank(e.coalesce(1), iterations=3, checkpoint=False))
     assert a == b
+
+
+# --- co-occurrence edges -------------------------------------------------
+
+from serialization_agents_spark.operators.graph import cooccurrence_edges
+
+
+def _pairs(df):
+    return {(r["a"], r["b"]): r["co_pages"] for r in df.collect()}
+
+
+def test_cooccurrence_counts_pages_per_pair(spark):
+    m = spark.createDataFrame(
+        [("u1", "x"), ("u1", "y"), ("u1", "z"),
+         ("u2", "x"), ("u2", "y"),
+         ("u3", "x")],  # single-entity page -> no pairs
+        "url string, entity_key string",
+    )
+    assert _pairs(cooccurrence_edges(m)) == {
+        ("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1,
+    }
+
+
+def test_cooccurrence_dedupes_repeat_mentions(spark):
+    """The same entity mentioned twice on one page is one co-occurrence."""
+    m = spark.createDataFrame(
+        [("u1", "x"), ("u1", "x"), ("u1", "y")],
+        "url string, entity_key string",
+    )
+    assert _pairs(cooccurrence_edges(m)) == {("x", "y"): 1}
+
+
+def test_cooccurrence_cap_bounds_hub_pages(spark):
+    """A 10-entity hub page at cap=4 keeps only the 4 smallest keys —
+    C(4,2)=6 pairs, never the quadratic blowup."""
+    rows = [("hub", f"e{i:02d}") for i in range(10)] + [("p", "e00"), ("p", "e01")]
+    m = spark.createDataFrame(rows, "url string, entity_key string")
+    got = _pairs(cooccurrence_edges(m, cap=4))
+    assert len(got) == 6
+    assert got[("e00", "e01")] == 2  # hub + p
+    assert all(a < b <= "e03" for a, b in got)
+
+
+def test_cooccurrence_partitioning_invariance(spark):
+    rows = [(f"u{i % 17}", f"e{(i * 5 + j) % 13}")
+            for i in range(120) for j in range(3)]
+    m = spark.createDataFrame(rows, "url string, entity_key string")
+    assert _pairs(cooccurrence_edges(m.repartition(9))) == _pairs(
+        cooccurrence_edges(m.coalesce(1))
+    )
+
+
+def test_cooccurrence_plan_no_join(spark):
+    """Pair expansion must be the posexplode form — no self-join, no
+    cartesian — so the operator's own plan contains no Join at all."""
+    m = spark.createDataFrame(
+        [("u", "x"), ("u", "y")], "url string, entity_key string"
+    )
+    plan = cooccurrence_edges(m)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
