@@ -1245,15 +1245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         agent set capped at 16 (deterministic smallest-key cap — bounds
         listy hub pages to C(16,2) pairs at 10^12-doc scale). No
         self-join: one groupBy(url) shuffle, two narrow posexplodes, one
-        pair aggregation with map-side combine."""
+        pair aggregation with map-side combine. Rides the memoized
+        pipeline's persisted `linked` frame, like the other kg_*
+        consumers."""
         from serialization_agents_spark.operators.graph import cooccurrence_edges
-        from serialization_agents_spark.operators.linking import link_mentions
 
-        linked, _ = link_mentions(
-            _kg_mentions(spark, sf),
-            _kg_authority(spark, sf),
-            redirects=_kg_redirects(spark, sf),
-        )
+        linked, _agents, _canonical = _kg_canonical(spark, sf)
         return cooccurrence_edges(linked, doc_col="url", key_col="entity_key")
 
     def o5_asof_join(spark, sf):

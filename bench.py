@@ -40,6 +40,8 @@ HEADLINE = [
     "url_dedup_latest",
     # benchmark decontamination (gram explode + broadcast probe + one agg)
     "text_decontaminate",
+    # co-mention relatedness edges (capped pair expansion, no self-join)
+    "kg_cooccurrence",
     "ann_cosine_top3",
     "ann_ivf_top3",
     "dedup_embedding_neardup",
