@@ -1253,6 +1253,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         linked, _agents, _canonical = _kg_canonical(spark, sf)
         return cooccurrence_edges(linked, doc_col="url", key_col="entity_key")
 
+    def kg_triangles(spark, sf):
+        """Per-entity triangle counts over the co-mention graph: the
+        local-clustering signal separating tight entity communities from
+        hub noise. Degree-oriented enumeration (operators/graph.py
+        triangle_counts) so celebrity hubs never explode the wedge join;
+        the oracle replays the identical (degree, key) total order."""
+        from serialization_agents_spark.operators.graph import (
+            cooccurrence_edges,
+            triangle_counts,
+        )
+
+        linked, _agents, _canonical = _kg_canonical(spark, sf)
+        edges = cooccurrence_edges(linked, doc_col="url", key_col="entity_key")
+        return triangle_counts(edges, src="a", dst="b").select(
+            F.col("node").alias("entity_key"), "n_triangles"
+        )
+
     def o5_asof_join(spark, sf):
         """Point-in-time as-of join: each purchase event matched to the
         user's latest view at-or-before it (union-window form — one
@@ -1364,6 +1381,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate_corpus(
             _t(spark, sf, "documents"), min_quality=0.75, max_dup3=0.01
         )
+
+    def u3_snapshot_diff(spark, sf):
+        """CDC-style diff of two crawl snapshots (covers the EXCEPT/
+        INTERSECT family — U3 — as ONE keyed full-outer join instead of
+        three whole-row set ops; see operators/delta.py for why that is
+        the 100 TB-correct shape). Snapshots derive deterministically
+        from `documents`: the old crawl is missing doc_id % 7 == 0
+        (-> 'added'), the new crawl dropped doc_id % 7 == 3
+        (-> 'removed'), and doc_id % 5 == 2 pages carried different
+        content in the old crawl (-> 'changed'). Fingerprints are
+        md5(text) — the same oracle-replayable hash contract as
+        dedup_exact."""
+        from serialization_agents_spark.operators.delta import snapshot_diff
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        old = docs.where(d % 7 != 0).select(
+            "doc_id",
+            F.when(d % 5 == 2, F.md5(F.concat(F.col("text"), F.lit("-v1"))))
+            .otherwise(F.md5(F.col("text")))
+            .alias("fingerprint"),
+        )
+        new = docs.where(d % 7 != 3).select(
+            "doc_id", F.md5(F.col("text")).alias("fingerprint")
+        )
+        return snapshot_diff(old, new)
 
     def multimodal_image_features(spark, sf):
         from serialization_agents_spark.operators.multimodal import (
@@ -1735,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enumerate_customers": o3_enumerate_customers,
         "a5_groupby_set_union": a5_groupby_set_union,
         "u2_union_priority": u2_union_priority,
+        "u3_snapshot_diff": u3_snapshot_diff,
         "p2_regexp_extract_id": p2_regexp_extract_id,
         "a6_distinct_pairs": a6_distinct_pairs,
         "o4_sessionize": o4_sessionize,
@@ -1768,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o8_percentiles": o8_percentiles,
         "kg_pagerank": kg_pagerank,
         "kg_cooccurrence": kg_cooccurrence,
+        "kg_triangles": kg_triangles,
         "o5_asof_join": o5_asof_join,
         "text_decontaminate": text_decontaminate,
         "text_tfidf_topk": text_tfidf_topk,
@@ -1924,6 +1969,20 @@ def oracle_sql() -> dict[str, str]:
         "u2_union_priority": (
             "SELECT user_id, min(CASE WHEN event_type = 'click' THEN 1 ELSE 2 END) AS best_priority "
             "FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id"
+        ),
+        "u3_snapshot_diff": (
+            "WITH old AS (SELECT doc_id, CASE WHEN doc_id % 5 = 2 "
+            "THEN md5(text || '-v1') ELSE md5(text) END AS fp "
+            "FROM documents WHERE doc_id % 7 <> 0), "
+            "new AS (SELECT doc_id, md5(text) AS fp "
+            "FROM documents WHERE doc_id % 7 <> 3) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.fp <> n.fp THEN 'changed' END AS change, "
+            "o.fp AS old_fingerprint, n.fp AS new_fingerprint "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp"
         ),
         "p2_regexp_extract_id": (
             "SELECT c_custkey, regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS name_id FROM customer"
@@ -2193,6 +2252,46 @@ capped AS (
 SELECT x.entity_key AS a, y.entity_key AS b, count(*) AS co_pages
 FROM capped x JOIN capped y ON x.url = y.url AND x.entity_key < y.entity_key
 GROUP BY 1, 2"""
+        ),
+        # Triangle counts replay the degree-oriented enumeration with
+        # DuckDB row-value comparisons standing in for Spark's struct
+        # ordering — ties in degree break on the entity key in both.
+        "kg_triangles": (
+            _KG_SQL_BASE
+            + """,
+dm AS (SELECT DISTINCT url, entity_key FROM linked),
+capped AS (
+  SELECT url, entity_key FROM (
+    SELECT url, entity_key,
+           row_number() OVER (PARTITION BY url ORDER BY entity_key) AS rn
+    FROM dm) t
+  WHERE rn <= 16
+),
+e AS (
+  SELECT x.entity_key AS u, y.entity_key AS v
+  FROM capped x JOIN capped y ON x.url = y.url AND x.entity_key < y.entity_key
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (a.d, e.u) < (b.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (a.d, e.u) < (b.d, e.v) THEN e.v ELSE e.u END AS t,
+         CASE WHEN (a.d, e.u) < (b.d, e.v) THEN b.d ELSE a.d END AS td
+  FROM e JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n
+),
+w AS (
+  SELECT x.s AS p, x.t AS q, y.t AS r
+  FROM o x JOIN o y ON x.s = y.s AND (x.td, x.t) < (y.td, y.t)
+),
+tri AS (SELECT p, q, r FROM w JOIN o ON w.q = o.s AND w.r = o.t)
+SELECT node AS entity_key, count(*) AS n_triangles
+FROM (SELECT p AS node FROM tri UNION ALL SELECT q FROM tri
+      UNION ALL SELECT r FROM tri)
+GROUP BY node"""
         ),
         # As-of join, replayed with the identical union-window algebra
         # (rights sort before lefts at equal ts; right ties resolve to

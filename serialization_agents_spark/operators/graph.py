@@ -122,3 +122,82 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    local-clustering signal a KG uses to separate tight entity
+    communities from hub noise (a third classic iterative/graph op next
+    to CC and pagerank; absent from the reference, which stops at flat
+    agents).
+
+    Algorithm: degree orientation. Every edge is directed from its
+    (degree, node)-smaller endpoint to its larger one, a total order, so
+    each triangle is enumerated EXACTLY once at its lowest-ordered apex:
+    wedge (s->q, s->r) with ord(q) < ord(r) closes iff oriented edge
+    q->r exists.
+
+    Scale design (10^11 edges):
+    - Orientation bounds the wedge fan-out: after degree orientation the
+      max out-degree is O(sqrt(m)) on any graph, so the wedge self-join
+      never explodes on celebrity hubs — a raw (a<b by id) orientation
+      would give a low-id hub O(d^2) wedges; this is the standard
+      skew-proof triangle layout.
+    - Three shuffles total: degree agg, wedge join on apex, closing join
+      on (q, r). All equi-joins; AQE handles residual stragglers.
+    - Everything is JVM-side; the (degree, node) order is a struct
+      comparison, deterministic and engine-independent (ties in degree
+      break on the node key), so DuckDB replays it row-for-row.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(
+            lo_first,
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("k")),
+        )
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("k")))
+        .alias("t_ord"),
+    )
+    w = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.s") == F.col("y.s"))
+        .where(F.col("x.t_ord") < F.col("y.t_ord"))
+        .select(
+            F.col("x.s").alias("p"),
+            F.col("x.t").alias("q"),
+            F.col("y.t").alias("r"),
+        )
+    )
+    tri = w.join(
+        o.select(F.col("s").alias("q"), F.col("t").alias("r")), ["q", "r"]
+    )
+    return (
+        tri.select(F.explode(F.array("p", "q", "r")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -114,3 +114,45 @@ def test_cooccurrence_plan_no_join(spark):
     )
     plan = cooccurrence_edges(m)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a STRING, b STRING")
+
+
+def test_triangles_hand_computed(spark):
+    from serialization_agents_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d}: every node is in C(3,2) = 3 triangles.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_none_on_a_tree(spark):
+    from serialization_agents_spark.operators.graph import triangle_counts
+
+    tree = [("r", "x"), ("r", "y"), ("x", "z")]
+    assert triangle_counts(_edges(spark, tree)).count() == 0
+
+
+def test_triangles_dedupe_and_orientation_insensitive(spark):
+    from serialization_agents_spark.operators.graph import triangle_counts
+
+    # One triangle given with duplicate + reversed edges and a self-loop.
+    messy = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("b", "c")]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, messy)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_hub_counted_once_per_closure(spark):
+    from serialization_agents_spark.operators.graph import triangle_counts
+
+    # Hub h connects to 4 leaves; only (l0, l1) closes -> exactly one
+    # triangle, and the hub (highest degree) is never a wedge apex.
+    edges = [("h", f"l{i}") for i in range(4)] + [("l0", "l1")]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, edges)).collect()}
+    assert got == {"h": 1, "l0": 1, "l1": 1}
