@@ -1330,6 +1330,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_pair_stats(_t(spark, sf, "documents"))
 
+    def text_inverted_index(spark, sf):
+        """Per-term posting-list heads (16 smallest doc ids) + corpus
+        term/doc frequencies — the retrieval-layer segment index. The
+        head is window-bounded so stop-word terms never materialize
+        their full posting list (operators/vocab.py inverted_index)."""
+        from serialization_agents_spark.operators.vocab import inverted_index
+
+        return inverted_index(_t(spark, sf, "documents"), max_postings=16)
+
+    def text_ngram_counts(spark, sf):
+        """Token trigram LM count table thresholded at 2 occurrences —
+        one narrow transform + one hash agg with map-side combine."""
+        from serialization_agents_spark.operators.vocab import ngram_counts
+
+        return ngram_counts(_t(spark, sf, "documents"), n=3, min_count=2)
+
     def url_dedup_latest(spark, sf):
         """Canonical-URL latest-capture dedup (the first pass of a crawl
         pipeline): normalize scheme/www/port/tracking/fragment variants
@@ -1805,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "text_corpus_stats": text_corpus_stats,
         "text_vocab_stats": text_vocab_stats,
+        "text_inverted_index": text_inverted_index,
+        "text_ngram_counts": text_ngram_counts,
         "corpus_sample": corpus_sample,
         "a8_rollup_counts": a8_rollup_counts,
         "o6_trailing_window": o6_trailing_window,
@@ -2162,6 +2180,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, count(*)::BIGINT AS term_freq, "
             "count(DISTINCT doc_id)::BIGINT AS doc_freq "
             "FROM e WHERE term <> '' GROUP BY term"
+        ),
+        # Inverted-index heads: the oracle takes the 16 smallest doc ids
+        # by slicing the numerically-sorted full list — identical to the
+        # window row_number head because doc_id is unique per (term, doc)
+        # group; cast to VARCHAR only after the numeric sort.
+        "text_inverted_index": (
+            f"WITH e AS (SELECT doc_id, unnest({toks}) AS term FROM documents), "
+            "pd AS (SELECT term, doc_id, count(*) AS tf FROM e "
+            "WHERE term <> '' GROUP BY term, doc_id), "
+            "st AS (SELECT term, sum(tf)::BIGINT AS term_freq, "
+            "count(*)::BIGINT AS doc_freq FROM pd GROUP BY term), "
+            "hd AS (SELECT term, array_to_string(list_transform("
+            "list_sort(list(doc_id))[1:16], x -> CAST(x AS VARCHAR)), ',') "
+            "AS postings_head FROM pd GROUP BY term) "
+            "SELECT st.term, term_freq, doc_freq, doc_freq > 16 AS truncated, "
+            "postings_head FROM st JOIN hd ON st.term = hd.term"
+        ),
+        # Trigram LM counts: the same w[i..i+2] windowing as the minhash
+        # shingle CTE, but counting every occurrence (no list_distinct)
+        # and dropping docs shorter than 3 tokens.
+        "text_ngram_counts": (
+            f"WITH t AS (SELECT {toks} AS w FROM documents), "
+            "g AS (SELECT unnest(list_transform(range(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram "
+            "FROM t WHERE len(w) >= 3) "
+            "SELECT ngram, count(*)::BIGINT AS n_occurrences FROM g "
+            "GROUP BY ngram HAVING count(*) >= 2"
         ),
         # Deterministic stratified sampling: the deviate is the first 8
         # hex chars of md5('sample:' || doc_id) over 2^32 — exact in

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from serialization_agents_spark.functions.text import tokens
 
 
@@ -253,3 +255,88 @@ def bpe_learn(
             F.aggregate(F.col("w"), zero, _step, _finish).alias("w")
         ).localCheckpoint(eager=False)
     return merges
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 16,
+) -> DataFrame:
+    """Per-term posting-list head: (term, term_freq, doc_freq,
+    truncated, postings_head) where postings_head is the
+    `max_postings` SMALLEST doc ids as a comma-joined string — the
+    segment-index shape a search/retrieval layer builds over a corpus
+    (full postings stay doc-partitioned on disk; the head + doc_freq
+    is the driver-safe summary).
+
+    Scale design (10^12 docs): a stopword's posting list is the whole
+    corpus, so no stage may materialize one in memory. The (term, doc)
+    pre-aggregation bounds duplicate work; the head is selected by a
+    sort-based row_number window (spills, never holds a term's list),
+    and the only collect_list runs AFTER the rn <= max_postings filter
+    — it can never see more than `max_postings` rows per term.
+    """
+    e = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    perdoc = e.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = perdoc.groupBy("term").agg(
+        F.sum("tf").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    heads = (
+        perdoc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(heads, "term").select(
+        "term",
+        "term_freq",
+        "doc_freq",
+        (F.col("doc_freq") > max_postings).alias("truncated"),
+        "postings_head",
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Token n-gram count table (the KenLM-style corpus statistic):
+    (ngram, n_occurrences) over every length-n token window, thresholded
+    at `min_count` AFTER the aggregate (the standard LM count cut).
+
+    One narrow per-row transform + ONE hash agg on the gram; map-side
+    partial combine absorbs the Zipf head before the shuffle. Docs
+    shorter than n tokens contribute nothing (the `when` guard also
+    keeps ANSI `sequence` from running descending on short docs; the
+    explode drops the resulting NULLs).
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )

@@ -195,3 +195,63 @@ def test_bpe_learn_stops_when_corpus_exhausts(spark):
     got = bpe_learn(docs, n_merges=5)
     # one merge collapses the only doc to a single token; then no pairs
     assert got == [("p", "q", 1)]
+
+
+def test_inverted_index_hand_computed(spark):
+    from serialization_agents_spark.operators.vocab import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a"), (4, "b"), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.term: r for r in inverted_index(docs, max_postings=2).collect()}
+    assert set(rows) == {"a", "b", "c"}  # empty doc contributes nothing
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a.term_freq, a.doc_freq, a.truncated, a.postings_head) == (3, 2, False, "1,3")
+    # b appears in 3 docs > max_postings=2: head keeps the 2 SMALLEST ids
+    assert (b.term_freq, b.doc_freq, b.truncated, b.postings_head) == (3, 3, True, "1,2")
+    assert (c.term_freq, c.doc_freq, c.truncated, c.postings_head) == (1, 1, False, "2")
+
+
+def test_inverted_index_head_is_partitioning_invariant(spark):
+    from serialization_agents_spark.operators.vocab import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "common tok%d" % (i % 5)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    one = {r.term: r.postings_head
+           for r in inverted_index(docs.coalesce(1), max_postings=3).collect()}
+    many = {r.term: r.postings_head
+            for r in inverted_index(docs.repartition(11), max_postings=3).collect()}
+    assert one == many
+    assert one["common"] == "0,1,2"
+
+
+def test_ngram_counts_hand_computed(spark):
+    from serialization_agents_spark.operators.vocab import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x"), (4, "c d"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r.ngram: r.n_occurrences
+           for r in ngram_counts(docs, n=2, min_count=2).collect()}
+    # "a b" twice in doc1; "b a" once in doc1 + once in doc2; "c d" and
+    # the short/empty docs fall below min_count or produce no grams
+    assert got == {"a b": 2, "b a": 2}
+
+
+def test_ngram_counts_trigram_threshold(spark):
+    from serialization_agents_spark.operators.vocab import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox the quick fox"), (2, "the quick fox")],
+        "doc_id long, text string",
+    )
+    got = {r.ngram: r.n_occurrences
+           for r in ngram_counts(docs, n=3, min_count=2).collect()}
+    # doc1 windows: [the quick fox, quick fox the, fox the quick,
+    # the quick fox]; doc2 adds one more "the quick fox" -> 3 total.
+    # Every other trigram occurs once and falls below min_count=2.
+    assert got == {"the quick fox": 3}
