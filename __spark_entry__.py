@@ -1141,6 +1141,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, rates={"en": 0.5, "de": 1.0, "zh": 0.25}, default_rate=0.1
         )
 
+    def corpus_mixture(spark, sf):
+        """Temperature mixture rebalancing: derive per-LANGUAGE keep
+        rates from the observed counts (share ∝ count^0.5, downsample-
+        only) and keep by md5 deviate — lang is the one skewed stratum
+        in the synthetic corpus (en ~44%), so the head is genuinely cut
+        and the tail genuinely capped at 1.0. Rates go through integer
+        micro-unit weights so the float arithmetic is bit-identical in
+        any engine (operators/sample.py mixture_sample)."""
+        from serialization_agents_spark.operators.sample import mixture_sample
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        return mixture_sample(docs, alpha=0.5, stratum_col="lang").select(
+            "doc_id", "lang", "mix_rate"
+        )
+
+    def corpus_shard_pack(spark, sf):
+        """Token-budget shard packing: lay documents out in a
+        deterministic md5-shuffled order and cut 4096-token shards by
+        running cumsum — the two-phase partition-offset scheme, no
+        global single-task window (operators/pack.py shard_pack)."""
+        from serialization_agents_spark.operators.pack import shard_pack
+
+        return shard_pack(_t(spark, sf, "documents"), budget=4096)
+
     def a8_rollup_counts(spark, sf):
         """ROLLUP subtotals over (source, lang) with grouping_id — the
         grouping-sets surface (one pass; Spark expands the sets in the
@@ -1824,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": text_inverted_index,
         "text_ngram_counts": text_ngram_counts,
         "corpus_sample": corpus_sample,
+        "corpus_mixture": corpus_mixture,
+        "corpus_shard_pack": corpus_shard_pack,
         "a8_rollup_counts": a8_rollup_counts,
         "o6_trailing_window": o6_trailing_window,
         "o7_sliding_window": o7_sliding_window,
@@ -2219,6 +2245,39 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, u, CASE lang WHEN 'en' THEN 0.5 "
             "WHEN 'de' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate FROM u) "
             "SELECT doc_id, lang, round(u, 6) AS u FROM r WHERE u < rate"
+        ),
+        # Temperature mixture: weights floored to integer micro-units
+        # BEFORE summation (float sums are order-dependent; integer sums
+        # are not), then the rate is two IEEE divisions and a multiply on
+        # identical operands — bit-identical across engines. sqrt (not
+        # pow) because sqrt is IEEE correctly-rounded everywhere.
+        "corpus_mixture": (
+            "WITH d AS (SELECT lang, count(*)::BIGINT AS cnt "
+            "FROM documents GROUP BY lang), "
+            "w AS (SELECT lang, cnt, "
+            "floor(sqrt(CAST(cnt AS DOUBLE)) * 1e6)::BIGINT AS wu FROM d), "
+            "t AS (SELECT sum(cnt)::BIGINT AS total, sum(wu)::BIGINT AS wsum FROM w), "
+            "r AS (SELECT lang, least(1.0, "
+            "(CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE)) * "
+            "(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))) AS rate FROM w, t) "
+            "SELECT doc_id, documents.lang AS lang, round(rate, 6) AS mix_rate "
+            "FROM documents JOIN r ON documents.lang = r.lang "
+            "WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) / 4294967296.0 < rate"
+        ),
+        # Shard packing: exclusive prefix-sum of integer token counts
+        # along the md5-shuffled order (the oracle's one global window
+        # IS the thing the Spark side decomposes into partition offsets).
+        "corpus_shard_pack": (
+            "WITH t AS (SELECT doc_id, "
+            f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END::BIGINT "
+            "AS n_tokens, "
+            "md5('pack:' || CAST(doc_id AS VARCHAR)) AS k FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS tokens_before FROM t) "
+            "SELECT doc_id, n_tokens, (tokens_before // 4096)::BIGINT AS shard_id "
+            "FROM c"
         ),
         # ROLLUP with the same GROUPING bit encoding in both engines.
         "a8_rollup_counts": (

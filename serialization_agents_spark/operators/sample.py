@@ -62,3 +62,58 @@ def sample_corpus(
         .where(u < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: DERIVE per-domain keep
+    rates from the observed domain counts instead of taking them as
+    config. The target share of domain d is count_d^alpha / sum_e
+    count_e^alpha (alpha < 1 flattens the head and upweights the tail —
+    the standard unigram-temperature mixing rule); the keep rate is
+    min(1, share_d * total / count_d), i.e. downsample-only: head
+    domains are cut to their target share, tail domains keep everything
+    (upsampling is an epoch-count concern, not a filter's).
+
+    Cross-engine exactness: count^alpha is a float, and float SUMS are
+    order-dependent, so the weight is floored to integer micro-units
+    (floor(count^alpha * 1e6)) BEFORE the sum — the denominator is then
+    an exact integer and the rate is two IEEE divisions and a multiply
+    on identical operands, bit-identical in any engine. All JVM-side:
+    the per-domain table is a tiny agg cross-joined back (broadcast).
+    """
+    # sqrt is IEEE correctly-rounded everywhere; pow is only ~1-ulp, so
+    # alpha=0.5 (the default) routes through sqrt for bit-exact parity
+    # with any oracle engine. Other alphas keep pow: the micro-unit
+    # floor then carries a 1-ulp cross-engine risk at integer edges.
+    base = F.col("__cnt").cast("double")
+    powered = F.sqrt(base) if float(alpha) == 0.5 else F.pow(base, F.lit(float(alpha)))
+    w_units = F.floor(powered * F.lit(1e6)).cast("long")
+    dims = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__w", w_units)
+    )
+    totals = dims.agg(
+        F.sum("__cnt").alias("__total"), F.sum("__w").alias("__wsum")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("__w").cast("double") / F.col("__wsum").cast("double"))
+        * (F.col("__total").cast("double") / F.col("__cnt").cast("double")),
+    )
+    rate_df = dims.crossJoin(broadcast(totals)).select(
+        stratum_col, rate.alias("__mix_rate")
+    )
+    u = uniform_hash(F.col(id_col), seed)
+    return (
+        df.join(broadcast(rate_df), stratum_col)
+        .where(u < F.col("__mix_rate"))
+        .withColumn("mix_rate", F.round("__mix_rate", 6))
+        .drop("__mix_rate")
+    )
