@@ -1156,6 +1156,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "mix_rate"
         )
 
+    def text_quality_gate(spark, sf):
+        """Relative quality curation: keep docs beating their language's
+        median quality — ONE percentile aggregate broadcast back, never
+        a percent_rank window (a stratum is one reducer's group at
+        10^12 docs) (operators/curate.py quality_gate)."""
+        from serialization_agents_spark.operators.curate import quality_gate
+
+        return quality_gate(_t(spark, sf, "documents"), p=0.5)
+
+    def text_bm25_topk(spark, sf):
+        """BM25 retrieval: rank the corpus for a 3-term query (one rare
+        term, two common) — integer 1e-4 score units so the per-doc sum
+        is order-free; top-k via orderBy+limit (TakeOrdered heap, never
+        a global window) (operators/retrieval.py bm25_topk)."""
+        from serialization_agents_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf, "documents"), ["dup", "merge", "vector"], k=25
+        )
+
     def corpus_shard_pack(spark, sf):
         """Token-budget shard packing: lay documents out in a
         deterministic md5-shuffled order and cut 4096-token shards by
@@ -1849,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_counts": text_ngram_counts,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
+        "text_bm25_topk": text_bm25_topk,
+        "text_quality_gate": text_quality_gate,
         "corpus_shard_pack": corpus_shard_pack,
         "a8_rollup_counts": a8_rollup_counts,
         "o6_trailing_window": o6_trailing_window,
@@ -2264,6 +2286,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents JOIN r ON documents.lang = r.lang "
             "WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
             "AS UBIGINT) / 4294967296.0 < rate"
+        ),
+        # Relative quality gate: integer 1e-4 quality units (the score
+        # is 4dp-rounded, so units are exact) make the p=0.5 quantile
+        # interpolation (a+b)*0.5 exact binary — same contract as o8.
+        "text_quality_gate": (
+            qual_cte("doc_id, lang")
+            + f", s AS (SELECT doc_id, lang AS stratum, round(({qual_expr}) * "
+            "10000.0, 0)::BIGINT AS q_units FROM q), "
+            "t AS (SELECT stratum, quantile_cont(q_units, 0.5) AS q_thr "
+            "FROM s GROUP BY stratum) "
+            "SELECT doc_id, s.stratum AS stratum, q_units, q_thr "
+            "FROM s JOIN t ON s.stratum = t.stratum WHERE q_units > q_thr"
+        ),
+        # BM25: idf coarsened to 4dp before any multiply (ln is the one
+        # libm-divergent op), per-term scores snapped to integer 1e-4
+        # units before the per-doc sum, identical parenthesization to
+        # the Spark expression. LIMIT with (score desc, doc_id) ties.
+        "text_bm25_topk": (
+            "WITH base AS (SELECT doc_id, "
+            f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({toks}) END::BIGINT "
+            f"AS dl, {toks} AS w FROM documents), "
+            "st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS total FROM base), "
+            "tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM ("
+            "SELECT doc_id, dl, unnest(w) AS term FROM base) "
+            "WHERE term IN ('dup', 'merge', 'vector') GROUP BY doc_id, dl, term), "
+            "dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT doc_id, round("
+            "round(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / "
+            "(CAST(df AS DOUBLE) + 0.5) + 1.0), 4) * "
+            "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * "
+            "(0.25 + 0.75 * (CAST(dl AS DOUBLE) / "
+            "(CAST(total AS DOUBLE) / CAST(n AS DOUBLE)))))) * 10000.0, 0)::BIGINT "
+            "AS u FROM tf, dfq AS d, st WHERE tf.term = d.term), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_matched, "
+            "sum(u)::BIGINT AS score_e4 FROM sc GROUP BY doc_id) "
+            "SELECT doc_id, n_matched, score_e4 FROM agg "
+            "ORDER BY score_e4 DESC, doc_id ASC LIMIT 25"
         ),
         # Shard packing: exclusive prefix-sum of integer token counts
         # along the md5-shuffled order (the oracle's one global window

@@ -112,3 +112,43 @@ def curate_corpus(
             F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
         )
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    p: float = 0.5,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RELATIVE quality curation: keep a document iff its quality score
+    beats its stratum's p-quantile — "top half per language" instead of
+    curate_corpus's absolute gates. Absolute thresholds drift as the
+    crawl mix shifts; the relative gate self-calibrates per stratum.
+
+    Scale shape: the threshold is ONE aggregate over the corpus
+    (percentile per stratum — strata are few, groups are huge, and the
+    agg's partial combine flattens them; never a percent_rank window,
+    which lands each stratum on one reducer) broadcast-joined back.
+
+    Exactness: quality_score is 4dp-rounded, so integer 1e-4 units are
+    exact; with p=0.5 the quantile interpolation is (a+b)*0.5 on
+    integers — exact binary in any engine, no rounding games.
+    """
+    from serialization_agents_spark.functions.text import quality_score
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.round(quality_score(F.col(text_col)) * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("q_units"),
+    )
+    thr = scored.groupBy("stratum").agg(
+        F.expr(f"percentile(q_units, {float(p)!r}D)").alias("q_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "stratum")
+        .where(F.col("q_units") > F.col("q_thr"))
+        .select("doc_id", "stratum", "q_units", "q_thr")
+    )

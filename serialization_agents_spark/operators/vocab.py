@@ -281,7 +281,15 @@ def inverted_index(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).where(F.col("term") != "")
-    perdoc = e.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # the (term, doc) pre-aggregate feeds BOTH the stats agg and the
+    # head window; without materialization Catalyst plans the corpus
+    # scan + explode + agg twice (ReuseExchange does not fire across
+    # the branches — same pitfall as tfidf_topk)
+    perdoc = (
+        e.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     stats = perdoc.groupBy("term").agg(
         F.sum("tf").alias("term_freq"),
         F.count(F.lit(1)).alias("doc_freq"),

@@ -46,3 +46,60 @@ def test_curate_lang_gate_disabled(spark):
     )
     out = curate_corpus(docs, lang=None, min_quality=0.5, max_dup3=0.3).collect()
     assert out[0]["status"] == "kept"
+
+
+def test_quality_gate_per_stratum_median(spark):
+    from pyspark.sql import functions as F
+
+    from serialization_agents_spark.functions.text import quality_score
+    from serialization_agents_spark.operators.curate import quality_gate
+
+    rows = [
+        # stratum 'a': three quality tiers
+        (0, "a", "!!!"),
+        (1, "a", "the cat sat on it"),
+        (2, "a", "the cat sat on the mat and it was good that it was warm "
+                 "there in the sun for a while"),
+        # stratum 'b': two docs (even count -> interpolated midpoint)
+        (3, "b", "???? ???? ????"),
+        (4, "b", "it was the best of times and it was the worst of times"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    # independent expectation: per-stratum exact median of 1e-4 units
+    units = {
+        r.doc_id: (r.lang, r.u)
+        for r in docs.select(
+            "doc_id", "lang",
+            F.round(quality_score(F.col("text")) * 10000.0, 0).cast("long").alias("u"),
+        ).collect()
+    }
+    import statistics
+
+    by_stratum = {}
+    for lang, u in units.values():
+        by_stratum.setdefault(lang, []).append(u)
+    med = {k: statistics.median(v) for k, v in by_stratum.items()}
+    want = {i for i, (lang, u) in units.items() if u > med[lang]}
+
+    got = {r.doc_id: r for r in quality_gate(docs, p=0.5).collect()}
+    assert set(got) == want and len(want) > 0
+    for r in got.values():
+        assert r.q_thr == med[r.stratum]
+        assert r.q_units == units[r.doc_id][1]
+
+
+def test_quality_gate_threshold_is_broadcast(spark):
+    """The stratum threshold must come back as a broadcast join — a
+    shuffle join on the stratum key would put each language on one
+    reducer at corpus scale."""
+    from serialization_agents_spark.operators.curate import quality_gate
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "the cat sat on the mat %d" % i)
+         for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    plan = quality_gate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

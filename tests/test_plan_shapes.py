@@ -173,3 +173,44 @@ def test_tfidf_no_double_scan_broadcast_only(spark):
     assert "Scan parquet" not in plan  # corpus scanned once, pre-checkpoint
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_shard_pack_no_global_window(spark):
+    """corpus_shard_pack: the running cumsum must be per-partition
+    windows + broadcast offsets, never a global single-task window
+    (an empty-frame Window over the whole corpus)."""
+    plan = _plan(entry.queries()["corpus_shard_pack"](spark, SF))
+    # per-partition window partitions by _pid; a global window would
+    # show a Window with an empty partition spec over a single Exchange
+    assert "Window" in plan and "_pid" in plan
+    assert "BroadcastHashJoin" in plan  # offsets come back broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_single_corpus_scan_and_takeordered(spark):
+    """text_bm25_topk: one documents scan feeds stats/tf/dl (the
+    localCheckpoint pins it), df broadcasts back, and top-k is a
+    TakeOrdered heap — never a global row_number window."""
+    plan = _plan(entry.queries()["text_bm25_topk"](spark, SF))
+    assert plan.count("documents.parquet") <= 1  # 0 after checkpoint
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_single_scan_two_aggs(spark):
+    """text_inverted_index: stats and heads both derive from ONE
+    (term, doc) pre-aggregate — the localCheckpoint pins it, so the
+    corpus parquet appears at most once (0 once materialized)."""
+    plan = _plan(entry.queries()["text_inverted_index"](spark, SF))
+    n = plan.count("documents.parquet")
+    assert n <= 1, f"documents scanned {n}x"
+    assert "ExistingRDD" in plan  # both branches read the checkpoint
+
+
+def test_mixture_rates_broadcast_back(spark):
+    """corpus_mixture: the per-stratum rate table is a tiny agg joined
+    back broadcast — the fact scan is never shuffled on the stratum."""
+    plan = _plan(entry.queries()["corpus_mixture"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
