@@ -1283,6 +1283,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", F.col("rank").alias("rank_fp")
         )
 
+    def kg_label_prop(spark, sf):
+        """Deterministic synchronous label propagation (3 iterations)
+        over a doc_id-derived weighted block graph (80 nodes, 8-node
+        blocks, sparse bridges) — certifies the iterative
+        join+vote+argmax loop against a DuckDB unrolled-CTE replay.
+        Integer weights + min-label ties, so no run-order can perturb
+        it (operators/graph.py label_propagation)."""
+        from serialization_agents_spark.operators.graph import label_propagation
+
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents").select("doc_id")
+        base = (d % 80).alias("src")
+        e1 = docs.select(
+            base,
+            ((d % 80) - (d % 80) % 8 + (d * 7 + 1) % 8).alias("dst"),
+            (d % 3 + 1).alias("w"),
+        )
+        e2 = docs.where(d % 13 == 0).select(
+            base, ((d % 80 + 8) % 80).alias("dst"), F.lit(1).alias("w")
+        )
+        return label_propagation(e1.union(e2), iterations=3, weight_col="w")
+
     def kg_cooccurrence(spark, sf):
         """Co-mention relatedness edges over the linked-mention layer:
         (a, b, co_pages) for every entity pair sharing a page, per-page
@@ -1877,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o7_sliding_window": o7_sliding_window,
         "o8_percentiles": o8_percentiles,
         "kg_pagerank": kg_pagerank,
+        "kg_label_prop": kg_label_prop,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_triangles": kg_triangles,
         "o5_asof_join": o5_asof_join,
@@ -2397,6 +2420,34 @@ def oracle_sql() -> dict[str, str]:
                 for i in (1, 2, 3)
             ).rstrip(",")
             + " SELECT node, r AS rank_fp FROM r3"
+        ),
+        # Synchronous LPA replay: the argmax is a row_number window in
+        # SQL but (votes desc, label asc) ordering is identical to the
+        # Spark min-struct; UNION ALL keeps parallel-edge multiplicity.
+        "kg_label_prop": (
+            "WITH e0 AS ("
+            "SELECT doc_id % 80 AS src, "
+            "(doc_id % 80) - (doc_id % 80) % 8 + (doc_id * 7 + 1) % 8 AS dst, "
+            "doc_id % 3 + 1 AS w FROM documents "
+            "UNION ALL SELECT doc_id % 80, (doc_id % 80 + 8) % 80, 1 "
+            "FROM documents WHERE doc_id % 13 = 0), "
+            "half AS (SELECT src, dst, w FROM e0 WHERE src <> dst), "
+            "und AS (SELECT src, dst, w FROM half "
+            "UNION ALL SELECT dst, src, w FROM half), "
+            "nodes AS (SELECT DISTINCT src AS node FROM und), "
+            "l0 AS (SELECT node, node AS lab FROM nodes), "
+            + " ".join(
+                f"v{i} AS (SELECT u.src AS node, l.lab AS lab, "
+                f"sum(u.w)::BIGINT AS votes FROM und u JOIN l{i - 1} l "
+                "ON l.node = u.dst GROUP BY u.src, l.lab), "
+                f"b{i} AS (SELECT node, lab FROM (SELECT node, lab, "
+                "row_number() OVER (PARTITION BY node "
+                f"ORDER BY votes DESC, lab ASC) AS rn FROM v{i}) WHERE rn = 1), "
+                f"l{i} AS (SELECT l.node, coalesce(b.lab, l.lab)::BIGINT AS lab "
+                f"FROM l{i - 1} l LEFT JOIN b{i} b ON b.node = l.node),"
+                for i in (1, 2, 3)
+            ).rstrip(",")
+            + " SELECT node, lab AS label FROM l3"
         ),
         # Co-mention edges: the capped sorted-set pair expansion replayed
         # as row_number <= 16 + an a < b self-join (ASCII keys, so the

@@ -201,3 +201,66 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, label) after `iterations` SYNCHRONOUS label-propagation
+    steps — the community-detection sibling of `pagerank`, deterministic
+    by construction where classic async LPA is run-order-dependent:
+    every node updates from the same previous-round labels, weights are
+    integers (sum order cannot perturb), and ties break to the SMALLEST
+    label. label_0(v) = v; label_{t+1}(v) = argmax_l sum of incident
+    edge weights whose far end carries l at round t (isolated nodes
+    keep their label).
+
+    Scale shape: per iteration ONE join of the symmetrized edge list
+    against the entity-scale label map, one (node, label) hash agg with
+    map-side combine, one argmax agg (min over a (-votes, label)
+    struct — never a per-node window), and a left join back for
+    isolated nodes. Per-iteration localCheckpoint truncates the lineage
+    exactly like the CC and PageRank loops.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    half = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).where(F.col("src") != F.col("dst"))
+    und = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).repartition("src")
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    nodes = (
+        und.select(F.col("src").alias("node")).distinct()
+    )  # symmetrized: every endpoint appears as src
+    labels = nodes.select("node", F.col("node").cast("long").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("votes"))
+        )
+        best = votes.groupBy("src").agg(
+            F.min(F.struct((-F.col("votes")).alias("nv"), F.col("label").alias("l")))[
+                "l"
+            ].alias("new_label")
+        )
+        labels = (
+            labels.join(best.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").cast("long").alias("label")
+            )
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -156,3 +156,69 @@ def test_triangles_hub_counted_once_per_closure(spark):
     edges = [("h", f"l{i}") for i in range(4)] + [("l0", "l1")]
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, edges)).collect()}
     assert got == {"h": 1, "l0": 1, "l1": 1}
+
+
+def _py_lpa(edges, iterations):
+    """Synchronous LPA reference: min-label tie-break, integer votes."""
+    und = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        und.setdefault(s, []).append((d, w))
+        und.setdefault(d, []).append((s, w))
+    labels = {v: v for v in und}
+    for _ in range(iterations):
+        nxt = {}
+        for v, nbrs in und.items():
+            votes = {}
+            for u, w in nbrs:
+                votes[labels[u]] = votes.get(labels[u], 0) + w
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    from serialization_agents_spark.operators.graph import label_propagation
+
+    edges = [(0, 1, 1), (1, 2, 1), (0, 2, 1),
+             (10, 11, 1), (11, 12, 1), (10, 12, 1),
+             (2, 10, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.label
+           for r in label_propagation(df, iterations=3, weight_col="w").collect()}
+    assert got == _py_lpa(edges, 3)
+    # the bridge must not merge the triangles: exactly two communities
+    assert len(set(got.values())) == 2
+    assert got[0] == got[1] == got[2] != got[10]
+    assert got[10] == got[11] == got[12]
+
+
+def test_label_propagation_weights_beat_degree(spark):
+    from serialization_agents_spark.operators.graph import label_propagation
+
+    # node 5 has two unit-weight neighbors labeled 1,2 and ONE heavy
+    # neighbor labeled 9: the heavy edge must win the vote
+    edges = [(5, 1, 1), (5, 2, 1), (5, 9, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.label
+           for r in label_propagation(df, iterations=1, weight_col="w").collect()}
+    assert got[5] == 9
+    assert got == _py_lpa(edges, 1)
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from serialization_agents_spark.operators.graph import label_propagation
+
+    edges = [(i % 40, (i * 7 + 1) % 40, i % 3 + 1) for i in range(300)]
+    a = label_propagation(
+        spark.createDataFrame(edges, "src long, dst long, w long").coalesce(1),
+        iterations=3, weight_col="w",
+    )
+    b = label_propagation(
+        spark.createDataFrame(edges, "src long, dst long, w long").repartition(13),
+        iterations=3, weight_col="w",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert {r[0]: r[1] for r in a.collect()} == _py_lpa(edges, 3)
