@@ -537,6 +537,54 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def _kmeans_sql(n_centroids: int = 8, n_iters: int = 2, dim: int = 64) -> str:
+    """DuckDB transcription of similarity.kmeans_lloyd: LCG init
+    (IVF_CENTROID_BASE offset, same recurrence as the IVF oracle), then
+    n_iters unrolled rounds of argmax-dot assignment (ties to the lowest
+    cell via row_number) -> per-(cell, pos) round(avg, 4). Both engines
+    round HALF_UP at 4dp between iterations, so round 2+ runs on
+    bit-identical centroids; empty cells coalesce to the previous round's
+    value with n_members 0."""
+    steps = []
+    for i in range(1, n_iters + 1):
+        prev_vec = "ct.v" if i == 1 else None
+        if prev_vec:  # round 1 dots against the init centroid LISTS
+            steps.append(
+                f"d{i} AS (SELECT e.vec_id, ct.c, list_dot_product(e.cv, {prev_vec}) AS d "
+                "FROM corpus e CROSS JOIN cents0 ct)"
+            )
+        else:  # later rounds dot against the (cell, pos, m) table form
+            steps.append(
+                f"d{i} AS (SELECT e.vec_id, ct.c, sum(e.cv[ct.pos + 1] * ct.m) AS d "
+                f"FROM corpus e CROSS JOIN c{i - 1} ct GROUP BY e.vec_id, ct.c)"
+            )
+        steps.append(
+            f"a{i} AS (SELECT vec_id, c FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d DESC, c) AS rn FROM d{i}) WHERE rn = 1)"
+        )
+        steps.append(
+            f"m{i} AS (SELECT a.c, p.pos, round(avg(e.cv[p.pos + 1]), 4) AS m, "
+            f"count(*)::BIGINT AS n FROM a{i} a JOIN corpus e USING (vec_id) "
+            "CROSS JOIN p GROUP BY a.c, p.pos)"
+        )
+        steps.append(
+            f"c{i} AS (SELECT c{i - 1}.c, c{i - 1}.pos, "
+            f"coalesce(m{i}.m, c{i - 1}.m) AS m, coalesce(m{i}.n, 0) AS n "
+            f"FROM c{i - 1} LEFT JOIN m{i} USING (c, pos))"
+        )
+    return f"""
+WITH RECURSIVE {_lcg_vectors_cte(n_centroids, dim, 1000, "c", "cents0")},
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+p AS (SELECT unnest(range({dim})) AS pos),
+c0 AS (SELECT ct.c, p.pos, ct.v[p.pos + 1] AS m, 0::BIGINT AS n
+       FROM cents0 ct CROSS JOIN p),
+{", ".join(steps)}
+SELECT c::BIGINT AS cell, pos::BIGINT AS pos,
+       m + 0.0 AS c_val, n AS n_members
+FROM c{n_iters}
+"""
+
+
 def _neardup_sql(threshold: float = 0.35, n_planes: int = 4, dim: int = 64) -> str:
     """DuckDB transcription of similarity.embedding_neardup_pairs: the
     first n_planes LSH planes (offset 0), sign-bit buckets over ALL
@@ -1009,6 +1057,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.where(F.col("vec_id") < 5)
         corpus = emb.where(F.col("vec_id") >= 5)
         return S.ivf_topk(corpus, queries_df, k=3)
+
+    def ann_kmeans_refine(spark, sf):
+        """Quantized Lloyd k-means over the full embeddings table: LCG
+        init shared with the IVF oracle family, two assign->mean rounds
+        with HALF_UP 4dp centroid quantization between rounds so the
+        DuckDB unrolled replay iterates on bit-identical centroids
+        (operators/similarity.py kmeans_lloyd). Certifies the final
+        centroid table (cell, pos, c_val) plus last-round membership
+        counts."""
+        return S.kmeans_lloyd(_t(spark, sf, "embeddings"))
 
     def dedup_embedding_neardup(spark, sf):
         pairs, _dropped = S.embedding_neardup_pairs(_t(spark, sf, "embeddings"))
@@ -1878,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top3": ann_lsh_top3,
         "ann_lsh_multiprobe_top3": ann_lsh_multiprobe_top3,
         "ann_ivf_top3": ann_ivf_top3,
+        "ann_kmeans_refine": ann_kmeans_refine,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
@@ -2758,6 +2817,7 @@ FROM kinds WHERE kind = 'image'
         "ann_lsh_top3": _ann_lsh_sql(n_probes=0),
         "ann_lsh_multiprobe_top3": _ann_lsh_sql(n_probes=3),
         "ann_ivf_top3": _ann_ivf_sql(),
+        "ann_kmeans_refine": _kmeans_sql(),
         "dedup_embedding_neardup": _neardup_sql(),
         "j4_fuzzy_scores": _string_score_sql(),
         "j5_variant_match": """

@@ -497,6 +497,68 @@ def kmeans_refine(
     return cents
 
 
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized Lloyd k-means, cross-engine reproducible: deterministic
+    LCG init (`ivf_centroids`), then `n_iters` rounds of Arrow argmax-dot
+    assignment (ties to the LOWEST cell) -> per-(cell, pos) mean rounded
+    HALF_UP to 4dp IN SPARK (F.round, never Python's banker's round), so
+    every iteration after the first runs on bit-identical centroid inputs
+    in any engine replaying the same recurrence. Empty cells keep their
+    previous centroid with n_members = 0; NULL/ragged vectors are dropped
+    from the vote (the kernel emits a NULL cell for them).
+
+    Returns one row per (cell, pos): (cell, pos, c_val, n_members) —
+    the final centroid table plus the last assignment's membership
+    counts. The distributed work is the per-iteration assignment scan and
+    the (cells x dim)-row mean shuffle; only the tiny centroid table
+    (n_centroids x dim, bounded by construction like the IVF centroid
+    broadcast) is collected per round.
+    """
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(n_centroids, dim, seed)
+    counts: dict[int, int] = {}
+    for _ in range(n_iters):
+        assigned = (
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            .mapInPandas(
+                _cell_kernel(cents, "neighbor_id", "cv"),
+                "neighbor_id long, cv array<double>, cell int",
+            )
+            .where(F.col("cell").isNotNull())
+        )
+        stats = (
+            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 4).alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        counts = {}
+        for r in stats:
+            new[r["cell"]][r["pos"]] = r["m"]
+            counts[r["cell"]] = r["n"]
+        cents = new
+    rows = [  # + 0.0 folds IEEE -0.0 to +0.0 (DuckDB round keeps the sign)
+        (c, p, float(cents[c][p]) + 0.0, int(counts.get(c, 0)))
+        for c in range(n_centroids)
+        for p in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "cell long, pos long, c_val double, n_members long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (dedup-family member)
 # ---------------------------------------------------------------------------

@@ -255,3 +255,65 @@ def test_kernels_tolerate_null_and_ragged_vectors(spark):
                                              corpus_arrow=corpus_arrow)
         ids = {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}
         assert ids.isdisjoint({100, 101, 102})
+
+
+def _py_kmeans_lloyd(vectors, n_centroids, n_iters, dim, seed=42):
+    """Pure-Python replay of kmeans_lloyd's quantized Lloyd contract:
+    argmax-dot assignment with lowest-index ties, HALF_UP 4dp means."""
+
+    def half_up(x):
+        return math.copysign(math.floor(abs(x) * 10000 + 0.5) / 10000, x) + 0.0
+
+    cents = S.ivf_centroids(n_centroids, dim, seed)
+    counts = {}
+    for _ in range(n_iters):
+        members = {}
+        for vid, v in vectors:
+            if v is None or len(v) != dim:
+                continue
+            dots = [sum(a * b for a, b in zip(v, c)) for c in cents]
+            cell = max(range(n_centroids), key=lambda i: (dots[i], -i))
+            members.setdefault(cell, []).append(v)
+        new = [list(c) for c in cents]
+        counts = {}
+        for cell, vs in members.items():
+            counts[cell] = len(vs)
+            for p in range(dim):
+                new[cell][p] = half_up(sum(v[p] for v in vs) / len(vs))
+        cents = new
+    return {
+        (c, p): (cents[c][p], counts.get(c, 0))
+        for c in range(n_centroids)
+        for p in range(dim)
+    }
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    # 4-dim corpus in two tight blobs plus a NULL and a ragged vector
+    # (dropped from the vote); n_centroids=4 guarantees empty cells that
+    # must keep their LCG init with n_members = 0.
+    rows = [(i, [1.0 + (i % 3) * 0.01, 0.2, -0.5, 0.0]) for i in range(6)]
+    rows += [(10 + i, [-0.9, 1.1 + (i % 2) * 0.02, 0.4, -1.0]) for i in range(5)]
+    rows += [(99, None), (98, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["cell"], r["pos"]): (r["c_val"], r["n_members"])
+        for r in S.kmeans_lloyd(emb, n_centroids=4, n_iters=2, dim=4).collect()
+    }
+    want = _py_kmeans_lloyd(
+        [(i, v) for i, v in rows], n_centroids=4, n_iters=2, dim=4
+    )
+    assert got == want
+    # both blobs found, at least one empty cell kept its init
+    n_by_cell = {c: n for (c, p), (_v, n) in got.items() if p == 0}
+    assert sorted(v for v in n_by_cell.values() if v) == [5, 6]
+    assert 0 in n_by_cell.values()
+
+
+def test_kmeans_lloyd_no_negative_zero(spark):
+    # means that land exactly on -0.0 must fold to +0.0 (oracle parity:
+    # DuckDB's round keeps the sign, Spark's drops it)
+    rows = [(0, [-1e-9, 1.0]), (1, [1e-9, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for r in S.kmeans_lloyd(emb, n_centroids=2, n_iters=1, dim=2).collect():
+        assert math.copysign(1.0, r["c_val"]) > 0 or r["c_val"] != 0.0
