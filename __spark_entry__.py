@@ -1463,6 +1463,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return inverted_index(_t(spark, sf, "documents"), max_postings=16)
 
+    def text_perplexity_bucket(spark, sf):
+        """CCNet-style perplexity filter: per-doc average negative
+        log-prob under the corpus's add-one unigram LM as an exact
+        integer micro-nll, bucketed head/middle/tail at the exact
+        p25/p75 quartiles (operators/vocab.py perplexity_buckets). All
+        doc-level sums are integer, so no float order can drift."""
+        from serialization_agents_spark.operators.vocab import perplexity_buckets
+
+        return perplexity_buckets(_t(spark, sf, "documents"))
+
     def text_ngram_counts(spark, sf):
         """Token trigram LM count table thresholded at 2 occurrences —
         one narrow transform + one hash agg with map-side combine."""
@@ -1948,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_stats": text_vocab_stats,
         "text_inverted_index": text_inverted_index,
         "text_ngram_counts": text_ngram_counts,
+        "text_perplexity_bucket": text_perplexity_bucket,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
         "text_bm25_topk": text_bm25_topk,
@@ -2326,6 +2337,29 @@ def oracle_sql() -> dict[str, str]:
             "AS postings_head FROM pd GROUP BY term) "
             "SELECT st.term, term_freq, doc_freq, doc_freq > 16 AS truncated, "
             "postings_head FROM st JOIN hd ON st.term = hd.term"
+        ),
+        # CCNet-style LM buckets: integer micro-nll per token (round
+        # before the per-doc sum, so only exact BIGINT arithmetic crosses
+        # rows), exact quartile interpolation at binary-exact fractions.
+        "text_perplexity_bucket": (
+            f"WITH ex AS (SELECT doc_id, unnest({toks}) AS term FROM documents), "
+            "tok AS (SELECT doc_id, term FROM ex WHERE term <> ''), "
+            "c AS (SELECT term, count(*) AS c FROM tok GROUP BY term), "
+            "nv AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM c), "
+            "lm AS (SELECT term, round(-ln((c + 1)::DOUBLE / "
+            "((SELECT n FROM nv) + (SELECT v FROM nv))::DOUBLE) "
+            "* 10000)::BIGINT AS cost FROM c), "
+            "d AS (SELECT t.doc_id, sum(l.cost)::BIGINT AS nll, "
+            "count(*)::BIGINT AS n_tokens FROM tok t JOIN lm l USING (term) "
+            "GROUP BY t.doc_id), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "round(nll::DOUBLE / n_tokens)::BIGINT AS avg_nll_e4 FROM d), "
+            "q AS (SELECT quantile_cont(avg_nll_e4, 0.25) AS p25, "
+            "quantile_cont(avg_nll_e4, 0.75) AS p75 FROM s) "
+            "SELECT doc_id, n_tokens, avg_nll_e4, "
+            "CASE WHEN avg_nll_e4 <= (SELECT p25 FROM q) THEN 'head' "
+            "WHEN avg_nll_e4 > (SELECT p75 FROM q) THEN 'tail' "
+            "ELSE 'middle' END AS bucket FROM s"
         ),
         # Trigram LM counts: the same w[i..i+2] windowing as the minhash
         # shingle CTE, but counting every occurrence (no list_distinct)

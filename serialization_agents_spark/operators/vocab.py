@@ -348,3 +348,65 @@ def ngram_counts(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def perplexity_buckets(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality buckets: score every document
+    by its average negative log-probability under the corpus's own
+    add-one-smoothed unigram LM, then split the corpus at the exact
+    p25/p75 quartiles into 'head' (most LM-typical), 'middle', 'tail'
+    — the standard perplexity-filtering step of webtext curation
+    pipelines (CCNet buckets by LM perplexity exactly this way).
+
+    Cross-engine determinism: per-token cost is an INTEGER micro-nll
+    (round(-ln((c+1)/(N+V)) * 1e4) as BIGINT), so per-doc sums are exact
+    integer arithmetic — no float sum-order drift — and the quartile
+    interpolation runs on integers at binary-exact fractions (.25/.75).
+
+    Scale shape: one token explode + hash agg builds the LM (map-side
+    combine absorbs the Zipf head), one dim-join of tokens against the
+    per-term cost table (hot stop-word keys are join-skew on the probe
+    side only; AQE skew-join splits them), one per-doc agg, and a
+    single-row exact-percentile agg broadcast back — never a global
+    sort or single-partition window. Docs with zero non-empty tokens
+    carry no LM evidence and are excluded (the explode drops them).
+    """
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    nv = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    lm = counts.crossJoin(F.broadcast(nv)).select(
+        "term",
+        F.round(
+            -F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("v_size")).cast("double")
+            )
+            * 10000
+        ).cast("long").alias("cost"),
+    )
+    scored = (
+        tok.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(F.sum("cost").alias("nll"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("nll").cast("double") / F.col("n_tokens"))
+            .cast("long").alias("avg_nll_e4"),
+        )
+    )
+    q = scored.agg(
+        F.expr("percentile(avg_nll_e4, array(0.25D, 0.75D))").alias("q")
+    ).select(F.col("q")[0].alias("p25"), F.col("q")[1].alias("p75"))
+    return scored.crossJoin(F.broadcast(q)).select(
+        "doc_id", "n_tokens", "avg_nll_e4",
+        F.when(F.col("avg_nll_e4") <= F.col("p25"), "head")
+        .when(F.col("avg_nll_e4") > F.col("p75"), "tail")
+        .otherwise("middle").alias("bucket"),
+    )

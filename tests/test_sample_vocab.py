@@ -255,3 +255,53 @@ def test_ngram_counts_trigram_threshold(spark):
     # the quick fox]; doc2 adds one more "the quick fox" -> 3 total.
     # Every other trigram occurs once and falls below min_count=2.
     assert got == {"the quick fox": 3}
+
+
+def _py_perplexity(corpus):
+    """Pure-Python replay of perplexity_buckets' integer-nll contract."""
+    import math
+
+    tok = [(d, t) for d, text in corpus for t in text.lower().split() if t]
+    c = {}
+    for _, t in tok:
+        c[t] = c.get(t, 0) + 1
+    n, v = sum(c.values()), len(c)
+    cost = {
+        t: int(math.copysign(
+            math.floor(abs(-math.log((k + 1) / (n + v)) * 10000) + 0.5), 1
+        ))
+        for t, k in c.items()
+    }
+    per = {}
+    for d, t in tok:
+        s, m = per.get(d, (0, 0))
+        per[d] = (s + cost[t], m + 1)
+    # HALF_UP (never Python's banker's round)
+    avg = {d: math.floor(s / m + 0.5) for d, (s, m) in per.items()}
+    return per, avg
+
+
+def test_perplexity_buckets_match_python_reference(spark):
+    from serialization_agents_spark.operators.vocab import perplexity_buckets
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the the the the"),              # most LM-typical -> head
+        (2, "zyx qwv plk jhg"),              # all-rare tokens -> tail
+        (3, "the cat ran"),
+        (4, "a dog sat on a log"),
+        (5, "the dog and the cat"),
+        (6, "   "),                          # no tokens: excluded
+        (7, "on on the the a a"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in perplexity_buckets(docs).collect()}
+    per, avg = _py_perplexity(corpus)
+    assert set(got) == set(avg)           # doc 6 excluded
+    for d, r in got.items():
+        assert r["n_tokens"] == per[d][1]
+        assert r["avg_nll_e4"] == avg[d]
+    assert got[1]["bucket"] == "head"
+    assert got[2]["bucket"] == "tail"
+    buckets = {r["bucket"] for r in got.values()}
+    assert buckets == {"head", "middle", "tail"}
