@@ -1106,6 +1106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(r["dup_3gram_fraction"], 4).alias("dup_3gram_fraction"),
         )
 
+    def dedup_repeated_spans(spark, sf):
+        """Cross-doc repeated-span fraction: every 10-token window
+        (stride 1, exact for any alignment), duplicated when the window
+        text appears in >= 2 distinct docs — the cheap ExactSubstr
+        relative (operators/dedup.py repeated_span_stats)."""
+        return D.repeated_span_stats(_t(spark, sf, "documents"))
+
     def dedup_chunks(spark, sf):
         """CCNet-style paragraph/chunk-level exact dedup: globally
         keep-first over md5 chunk hashes, reassembled per doc. The
@@ -1941,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_chunks": dedup_chunks,
+        "dedup_repeated_spans": dedup_repeated_spans,
         "dedup_neardup_clusters": dedup_neardup_clusters,
         "ann_cosine_top3": ann_cosine_top3,
         "ann_lsh_top3": ann_lsh_top3,
@@ -2198,6 +2206,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ("
             + " + ".join(f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32))
             + ")::BIGINT AS simhash FROM votes"
+        ),
+        # Every 10-token window (stride 1): element-concat windowing
+        # (the minhash shingle CTE pattern), duplicated = window text in
+        # >= 2 distinct docs, fraction divides the same two BIGINTs in
+        # both engines.
+        "dedup_repeated_spans": (
+            f"WITH t AS (SELECT doc_id, {toks} AS w FROM documents), "
+            "occ AS (SELECT doc_id, unnest(list_transform("
+            "range(0, len(w) - 10 + 1), i -> "
+            + " || ' ' || ".join(f"w[i + {j}]" for j in range(1, 11))
+            + ")) AS win FROM t WHERE len(w) >= 10), "
+            "dup AS (SELECT win FROM (SELECT win, count(DISTINCT doc_id) "
+            "AS nd FROM occ GROUP BY win) WHERE nd >= 2) "
+            "SELECT o.doc_id, count(*)::BIGINT AS n_windows, "
+            "sum(CASE WHEN d.win IS NULL THEN 0 ELSE 1 END)::BIGINT "
+            "AS dup_windows, "
+            "round(sum(CASE WHEN d.win IS NULL THEN 0 ELSE 1 END)::DOUBLE "
+            "/ count(*), 4) AS dup_fraction "
+            "FROM occ o LEFT JOIN dup d USING (win) GROUP BY o.doc_id"
         ),
         # Chunk-level keep-first dedup: DuckDB's unnest(range(...)) plays
         # the role of Spark's posexplode over fixed 12-token windows; the

@@ -361,3 +361,69 @@ def neardup_clusters(
         F.col("entity_key").cast("long").alias(id_col),
         F.col("component").cast("long").alias("cluster_rep"),
     )
+
+
+def repeated_span_stats(
+    docs: DataFrame,
+    k: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-span statistics — the cheap relative of
+    suffix-array ExactSubstr dedup (Lee et al., 'Deduplicating Training
+    Data Makes Language Models Better'): every k-token window (stride 1
+    = every position, exact for ANY shared span of >= k tokens, any
+    alignment), where non-overlapping chunk dedup (chunk_dedup) only
+    catches chunk-aligned repeats. `stride > 1` is a cost knob that
+    trades recall for rows: with BOTH sides sampled at stride s, only
+    offset differences divisible by s are caught — keep s = 1 unless a
+    winnowing-style content-defined sampler replaces it. A window
+    occurrence is 'duplicated' when its text appears in >= 2 DISTINCT
+    documents; within-doc repetition is the repetition_features gate's
+    job, not this one's.
+
+    Returns (doc_id, n_windows, dup_windows, dup_fraction) per doc with
+    at least one full window (shorter docs carry no k-token evidence).
+
+    Scale shape: one narrow window transform + explode (stride bounds
+    the blow-up at len/stride rows per doc), one distinct + hash agg on
+    the window text (map-side combine absorbs boilerplate heads), one
+    equi-join back (hot boilerplate keys are probe-side skew; AQE
+    splits them), one per-doc agg. dup_fraction divides two identical
+    integers in both engines — no float drift.
+    """
+    toks = _tokens(F.col(text_col))
+    n_wins = F.floor((F.size(toks) - k) / stride) + 1
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), (n_wins - 1).cast("int")),
+            lambda i: F.array_join(F.slice(toks, i * stride + 1, k), " "),
+        ),
+    )
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("win")
+    )
+    dup_wins = (
+        occ.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("win", F.lit(1).alias("is_dup"))
+    )
+    return (
+        occ.join(dup_wins, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("dup_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "dup_windows",
+            F.round(
+                F.col("dup_windows").cast("double") / F.col("n_windows"), 4
+            ).alias("dup_fraction"),
+        )
+    )

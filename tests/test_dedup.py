@@ -205,3 +205,46 @@ def test_chunk_dedup_conserves_distinct_chunks(spark):
         # subsequence check
         it = iter(orig)
         assert all(tok in it for tok in kept), f"doc {i} reassembly broken"
+
+
+def test_repeated_spans_alignment_free(spark):
+    """A 12-token boilerplate block shared at a 3-token offset (NOT
+    chunk-aligned) must be flagged: stride-1 windows are exact for any
+    shared span of >= 10 tokens at any alignment."""
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        (0, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+        (1, "p1 p2 p3 " + boiler + " q1 q2"),  # same block, offset 3
+        (2, " ".join(f"u{i}" for i in range(20))),  # unique text
+        (3, "too short"),  # < 10 tokens: no window evidence
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.repeated_span_stats(docs).collect()}
+    assert 3 not in got  # short doc excluded
+    assert got[2]["dup_windows"] == 0 and got[2]["dup_fraction"] == 0.0
+    # a 12-token shared block holds exactly 3 shared 10-grams
+    # (starts 0, 1, 2 within the block) in BOTH docs, any alignment
+    assert got[0]["dup_windows"] == 3
+    assert got[1]["dup_windows"] == 3
+    assert got[0]["n_windows"] == 12 + 10 - 10 + 1  # 22 tokens -> 13
+    assert got[0]["dup_fraction"] == round(3 / 13, 4)
+
+
+def test_repeated_spans_fraction_arithmetic(spark):
+    # two identical docs: every window duplicated, fraction exactly 1.0
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    for r in D.repeated_span_stats(docs).collect():
+        assert r["n_windows"] == 16  # 25 - 10 + 1
+        assert r["dup_windows"] == 16
+        assert r["dup_fraction"] == 1.0
+
+
+def test_repeated_spans_stride_knob_bounds_rows(spark):
+    # stride > 1 samples fewer windows (recall tradeoff, documented)
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = D.repeated_span_stats(docs, stride=5).collect()[0]
+    assert r["n_windows"] == 4  # floor((25-10)/5)+1
