@@ -1106,6 +1106,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(r["dup_3gram_fraction"], 4).alias("dup_3gram_fraction"),
         )
 
+    def dedup_winnow_pairs(spark, sf):
+        """Winnowing (MOSS) fingerprint match pairs: min-hash of every
+        window of 4 consecutive 10-gram md5s, doc pairs sharing >= 1
+        fingerprint with shared-count — guaranteed to catch any shared
+        span >= 13 tokens at ~2/5 sampling density
+        (operators/dedup.py winnow_fingerprints / winnow_pairs)."""
+        pairs, _dropped = D.winnow_pairs(_t(spark, sf, "documents"))
+        return pairs
+
     def dedup_repeated_spans(spark, sf):
         """Cross-doc repeated-span fraction: every 10-token window
         (stride 1, exact for any alignment), duplicated when the window
@@ -1949,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_chunks": dedup_chunks,
         "dedup_repeated_spans": dedup_repeated_spans,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
         "dedup_neardup_clusters": dedup_neardup_clusters,
         "ann_cosine_top3": ann_cosine_top3,
         "ann_lsh_top3": ann_lsh_top3,
@@ -2206,6 +2216,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, ("
             + " + ".join(f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32))
             + ")::BIGINT AS simhash FROM votes"
+        ),
+        # Winnowing: gram md5s, window-of-4 list_min (lexicographic, same
+        # as Spark's array_min on hex strings), distinct (doc, fp), then
+        # a fingerprint-blocked self-join. Cap never triggers at gate SFs
+        # (like the minhash oracle, the cap is pytest territory).
+        "dedup_winnow_pairs": (
+            f"WITH t AS (SELECT doc_id, {toks} AS w FROM documents), "
+            "g AS (SELECT doc_id, list_transform("
+            "range(0, len(w) - 10 + 1), i -> md5("
+            + " || ' ' || ".join(f"w[i + {j}]" for j in range(1, 11))
+            + ")) AS hs FROM t WHERE len(w) >= 13), "
+            "fp AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            "range(0, len(hs) - 4 + 1), j -> list_min(hs[j + 1 : j + 4]"
+            "))) AS fp FROM g) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*)::BIGINT AS n_shared "
+            "FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id"
         ),
         # Every 10-token window (stride 1): element-concat windowing
         # (the minhash shingle CTE pattern), duplicated = window text in

@@ -427,3 +427,96 @@ def repeated_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 10,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-token gram, then keep the MINIMUM
+    hash of each window of `w` consecutive gram hashes. Guarantee: any
+    span shared by two documents of length >= k + w - 1 tokens shares
+    at least one fingerprint, at ~2/(w+1) sampling density — the
+    content-defined sampler that makes span-level dedup affordable
+    where repeated_span_stats' stride-1 enumeration is the exact but
+    row-heavy path.
+
+    hash_fn='md5' keeps hex-string hashes so a SQL oracle reproduces
+    fingerprints bit-for-bit (lexicographic min); 'xxhash64' is the
+    ~4x-cheaper 64-bit production family (same guarantee).
+
+    Returns DISTINCT (doc_id, fp) pairs. All work is per-row array
+    expressions (narrow) + one distinct; docs shorter than k + w - 1
+    tokens emit nothing.
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    toks = _tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    if hash_fn == "xxhash64":
+        hs = F.transform(grams, lambda g: F.xxhash64(g))
+    else:
+        hs = F.transform(grams, lambda g: F.md5(g))
+    fps = F.when(
+        F.size(toks) >= k + w - 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k - w + 1),
+                lambda j: F.array_min(F.slice(hs, j + 1, w)),
+            )
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
+    ).distinct()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 10,
+    w: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    max_bucket: int | None = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Document pairs sharing >= min_shared winnowing fingerprints:
+    (id_a, id_b, n_shared). The fingerprint is the blocking key — a
+    within-fingerprint self-join, never all-pairs — with the same
+    bucket-cap + drop-audit contract as minhash_candidate_pairs_capped
+    (boilerplate fingerprints are the hot keys at 100 TB; capped
+    buckets are reported, not silently joined).
+
+    Returns (pairs, dropped_fingerprints(fp, bucket_size)).
+    """
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bucket_size"))
+    if max_bucket is not None:
+        dropped = sizes.where(F.col("bucket_size") > max_bucket)
+        keep = fps.join(
+            F.broadcast(dropped.select("fp")), "fp", "left_anti"
+        )
+    else:
+        dropped = sizes.where(F.lit(False))
+        keep = fps
+    a = keep.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    b = keep.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs, dropped.select("fp", "bucket_size")

@@ -248,3 +248,71 @@ def test_repeated_spans_stride_knob_bounds_rows(spark):
     docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
     r = D.repeated_span_stats(docs, stride=5).collect()[0]
     assert r["n_windows"] == 4  # floor((25-10)/5)+1
+
+
+def _py_winnow(text, k=10, w=4):
+    import hashlib
+
+    toks = text.lower().split()
+    if len(toks) < k + w - 1:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_guarantee_shared_span(spark):
+    """The winnowing theorem: any shared span >= k + w - 1 (= 13) tokens
+    shares at least one fingerprint, regardless of alignment."""
+    block = " ".join(f"b{i}" for i in range(13))
+    rows = [
+        (0, block + " " + " ".join(f"x{i}" for i in range(6))),
+        (1, "p1 p2 p3 p4 " + block),  # offset 4, NOT mod-anything aligned
+        (2, " ".join(f"u{i}" for i in range(25))),  # unique
+        (3, "short doc here"),  # < 13 tokens: no fingerprints
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        d: {r["fp"] for r in rows_}
+        for d, rows_ in __import__("itertools").groupby(
+            sorted(
+                D.winnow_fingerprints(docs).collect(),
+                key=lambda r: r["doc_id"],
+            ),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    for d, text in rows:
+        assert fps.get(d, set()) == _py_winnow(text), f"doc {d}"
+    assert fps[0] & fps[1]           # guaranteed shared fingerprint
+    assert not (fps[0] & fps[2])     # unique doc shares nothing
+    assert 3 not in fps
+
+    pairs, dropped = D.winnow_pairs(docs)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in pairs.collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == len(fps[0] & fps[1])
+    assert dropped.count() == 0
+
+
+def test_winnow_bucket_cap_drops_boilerplate_fp(spark):
+    text = " ".join(f"c{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    pairs, dropped = D.winnow_pairs(docs, max_bucket=5)
+    assert pairs.count() == 0            # every fp bucket has 6 > 5 docs
+    d = dropped.collect()
+    assert d and all(r["bucket_size"] == 6 for r in d)
+
+
+def test_winnow_xxhash64_prod_flag(spark):
+    block = " ".join(f"b{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(0, block + " z1 z2"), (1, "y1 y2 " + block)],
+        "doc_id long, text string",
+    )
+    pairs, _ = D.winnow_pairs(docs, hash_fn="xxhash64")
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
