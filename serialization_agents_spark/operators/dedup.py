@@ -404,7 +404,7 @@ def repeated_span_stats(
     )
     occ = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(wins).alias("win")
-    )
+    ).localCheckpoint(eager=False)  # feeds the dup agg AND the join probe
     dup_wins = (
         occ.select("doc_id", "win")
         .distinct()
@@ -500,7 +500,7 @@ def winnow_pairs(
     """
     fps = winnow_fingerprints(
         docs, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
-    )
+    ).localCheckpoint(eager=False)  # feeds bucket sizes + both join sides
     sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("bucket_size"))
     if max_bucket is not None:
         dropped = sizes.where(F.col("bucket_size") > max_bucket)

@@ -376,6 +376,10 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
         docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokens(F.col(text_col))).alias("term"))
         .where(F.col("term") != "")
+        # one token explode feeds BOTH the LM aggregate and the per-doc
+        # scoring join (Catalyst won't reuse an agg subtree across
+        # consumers — same fix as tfidf/bm25's single corpus scan)
+        .localCheckpoint(eager=False)
     )
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     nv = counts.agg(
@@ -400,6 +404,7 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
             F.round(F.col("nll").cast("double") / F.col("n_tokens"))
             .cast("long").alias("avg_nll_e4"),
         )
+        .localCheckpoint(eager=False)  # feeds the quantile AND the output
     )
     q = scored.agg(
         F.expr("percentile(avg_nll_e4, array(0.25D, 0.75D))").alias("q")

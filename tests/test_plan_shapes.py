@@ -214,3 +214,48 @@ def test_mixture_rates_broadcast_back(spark):
     plan = _plan(entry.queries()["corpus_mixture"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_single_token_explode(spark):
+    """text_perplexity_bucket: the token explode and the per-doc score
+    frame are each materialized ONCE (localCheckpoints); the LM cost
+    table and the quantile row broadcast back — never a sort-merge join
+    or a second corpus scan."""
+    plan = _plan(entry.queries()["text_perplexity_bucket"](spark, SF))
+    assert plan.count("documents.parquet") <= 1
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repeated_spans_one_window_explode(spark):
+    """dedup_repeated_spans: one window explode feeds both the dup
+    aggregate and the join probe (checkpoint-pinned); the corpus is
+    scanned at most once."""
+    plan = _plan(entry.queries()["dedup_repeated_spans"](spark, SF))
+    assert plan.count("documents.parquet") <= 1
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_pairs_fingerprint_blocked(spark):
+    """dedup_winnow_pairs: the fingerprint frame materializes once and
+    the pair join is fp-blocked equi-join — never a cross join; the
+    dropped-bucket anti-join stays broadcast."""
+    plan = _plan(entry.queries()["dedup_winnow_pairs"](spark, SF))
+    assert plan.count("documents.parquet") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_arrow_kernel(spark):
+    """ann_kmeans_refine's distributed work is the Arrow cell kernel +
+    posexplode mean agg; the returned centroid table itself is a tiny
+    local relation (bounded by n_centroids x dim, like the IVF centroid
+    broadcast), so the query plan must be scan-free."""
+    from serialization_agents_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = kmeans_lloyd(emb, n_centroids=4, n_iters=1)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan  # driver-assembled centroid table
+    assert df.count() == 4 * 64
