@@ -1337,6 +1337,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n"),
         )
 
+    def o9_interval_join(spark, sf):
+        """Point-in-interval range join via chunk bucketing: events
+        match deterministic per-customer validity windows (derived from
+        order keys, overlaid on the events' January-2024 span since the
+        TPC-H order dates predate the event stream) with
+        start <= ts < end. The bucketized equi-join
+        (operators/intervals.py interval_join) restores an equi-key so
+        Catalyst never plans a nested-loop non-equi join; micros
+        arithmetic is integer end-to-end and value cents are integer
+        sums."""
+        from serialization_agents_spark.operators.intervals import interval_join
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        ok = F.col("o_orderkey")
+        start_s = F.lit(1704067200) + (ok % 720) * 3600
+        iv = _t(spark, sf, "orders").select(
+            ok.alias("o_orderkey"),
+            (F.col("o_custkey") % 150).cast("long").alias("user_id"),
+            (start_s * 1000000).cast("long").alias("start_us"),
+            ((start_s + (ok % 6 + 1) * 1800) * 1000000).cast("long").alias("end_us"),
+        )
+        joined = interval_join(
+            ev, iv, key="user_id", ts_col="ts_us",
+            start_col="start_us", end_col="end_us",
+            chunk=3600 * 1000000,
+        )
+        return joined.groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+
     def kg_pagerank(spark, sf):
         """Fixed-point integer PageRank (3 iterations) over a
         deterministic doc_id-derived functional graph on 101 nodes —
@@ -1986,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_trailing_window": o6_trailing_window,
         "o7_sliding_window": o7_sliding_window,
         "o8_percentiles": o8_percentiles,
+        "o9_interval_join": o9_interval_join,
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
         "kg_cooccurrence": kg_cooccurrence,
@@ -2544,6 +2581,21 @@ def oracle_sql() -> dict[str, str]:
             "quantile_cont(cents, 0.5) AS p50, "
             "quantile_cont(cents, 0.75) AS p75, count(*) AS n "
             "FROM ev GROUP BY event_type"
+        ),
+        # Range join replayed as the plain non-equi join (DuckDB plans
+        # an IEJoin); micros and cents are integer end-to-end.
+        "o9_interval_join": (
+            "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "round(value * 100)::BIGINT AS cents FROM events), "
+            "iv AS (SELECT o_orderkey, o_custkey % 150 AS user_id, "
+            "(1704067200 + (o_orderkey % 720) * 3600) * 1000000 AS start_us, "
+            "(1704067200 + (o_orderkey % 720) * 3600 "
+            "+ (o_orderkey % 6 + 1) * 1800) * 1000000 AS end_us FROM orders) "
+            "SELECT o_orderkey, count(*)::BIGINT AS n_events, "
+            "sum(cents)::BIGINT AS value_cents "
+            "FROM ev JOIN iv ON ev.user_id = iv.user_id "
+            "AND ts_us >= start_us AND ts_us < end_us "
+            "GROUP BY o_orderkey"
         ),
         # Fixed-point PageRank: 3 iterations unrolled as chained CTEs;
         # pure integer arithmetic (// and *17//20 damping) replays the
