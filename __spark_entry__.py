@@ -1415,6 +1415,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(e1.union(e2), iterations=3, weight_col="w")
 
+    def kg_bfs_hops(spark, sf):
+        """Multi-source BFS hop distances (4 synchronous rounds) over
+        the doc_id-derived block graph — certifies the iterative
+        frontier join+min loop against a DuckDB unrolled-CTE replay.
+        Sources are nodes 0/29/58; min-over-integer updates cannot be
+        perturbed by run order; unreached nodes are omitted
+        (operators/graph.py bfs_distances)."""
+        from serialization_agents_spark.operators.graph import bfs_distances
+
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents").select("doc_id")
+        base = (d % 80).alias("src")
+        e1 = docs.select(
+            base, ((d % 80) - (d % 80) % 8 + (d * 7 + 1) % 8).alias("dst")
+        )
+        e2 = docs.where(d % 13 == 0).select(
+            base, ((d % 80 + 8) % 80).alias("dst")
+        )
+        srcs = spark.range(0, 80, 29).select(F.col("id").alias("node"))
+        return bfs_distances(e1.union(e2), srcs, max_hops=4)
+
     def kg_cooccurrence(spark, sf):
         """Co-mention relatedness edges over the linked-mention layer:
         (a, b, co_pages) for every entity pair sharing a page, per-page
@@ -2025,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_interval_join": o9_interval_join,
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
+        "kg_bfs_hops": kg_bfs_hops,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_triangles": kg_triangles,
         "o5_asof_join": o5_asof_join,
@@ -2624,6 +2646,31 @@ def oracle_sql() -> dict[str, str]:
         # Synchronous LPA replay: the argmax is a row_number window in
         # SQL but (votes desc, label asc) ordering is identical to the
         # Spark min-struct; UNION ALL keeps parallel-edge multiplicity.
+        # Multi-source BFS: 4 unrolled frontier-join/min rounds; least()
+        # skips NULLs identically in both engines; unreached omitted.
+        "kg_bfs_hops": (
+            "WITH e0 AS ("
+            "SELECT doc_id % 80 AS src, "
+            "(doc_id % 80) - (doc_id % 80) % 8 + (doc_id * 7 + 1) % 8 AS dst "
+            "FROM documents "
+            "UNION ALL SELECT doc_id % 80, (doc_id % 80 + 8) % 80 "
+            "FROM documents WHERE doc_id % 13 = 0), "
+            "half AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), "
+            "und AS (SELECT src, dst FROM half "
+            "UNION SELECT dst, src FROM half), "
+            "nodes AS (SELECT DISTINCT src AS node FROM und), "
+            "d0 AS (SELECT node, CASE WHEN node % 29 = 0 THEN 0 END"
+            "::BIGINT AS dist FROM nodes), "
+            + " ".join(
+                f"r{i} AS (SELECT u.src AS node, min(d.dist) + 1 AS via "
+                f"FROM und u JOIN d{i - 1} d ON d.node = u.dst "
+                "WHERE d.dist IS NOT NULL GROUP BY u.src), "
+                f"d{i} AS (SELECT d.node, least(d.dist, r.via)::BIGINT AS dist "
+                f"FROM d{i - 1} d LEFT JOIN r{i} r ON r.node = d.node),"
+                for i in (1, 2, 3, 4)
+            ).rstrip(",")
+            + " SELECT node, dist FROM d4 WHERE dist IS NOT NULL"
+        ),
         "kg_label_prop": (
             "WITH e0 AS ("
             "SELECT doc_id % 80 AS src, "

@@ -264,3 +264,56 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, dist) = shortest hop count from any source node within
+    `max_hops` synchronous BFS rounds — the multi-source reachability
+    sibling of `pagerank`/`label_propagation`, exact by construction
+    (min over integers; no run order can perturb it). Unreached nodes
+    are omitted. `sources` is a one-column (node) frame.
+
+    Scale shape per round: ONE join of the symmetrized edge list
+    against the current frontier-bearing distance map, one (node)
+    min-agg with map-side combine, one left join back; lineage is
+    truncated per round like the CC/PageRank/LPA loops. max_hops bounds
+    the rounds, so the plan never depends on graph diameter discovery.
+    """
+    half = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    und = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition("src")
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    dist = nodes.join(
+        sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+        .withColumn("dist", F.lit(0).cast("long")),
+        "node", "left",
+    )
+    for _ in range(max_hops):
+        reach = (
+            und.join(
+                dist.where(F.col("dist").isNotNull())
+                .withColumnRenamed("node", "dst"),
+                "dst",
+            )
+            .groupBy("src")
+            .agg((F.min("dist") + 1).alias("via"))
+            .withColumnRenamed("src", "node")
+        )
+        dist = dist.join(reach, "node", "left").select(
+            "node", F.least(F.col("dist"), F.col("via")).alias("dist")
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.where(F.col("dist").isNotNull())

@@ -222,3 +222,64 @@ def test_label_propagation_partitioning_invariant(spark):
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert {r[0]: r[1] for r in a.collect()} == _py_lpa(edges, 3)
+
+
+def _py_bfs(edges, sources, max_hops):
+    und = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    dist = {v: 0 for v in sources if v in und}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        frontier = {
+            n for v in frontier for n in und[v] if n not in dist
+        }
+        for n in frontier:
+            dist[n] = h
+    return dist
+
+
+def test_bfs_distances_two_components(spark):
+    from serialization_agents_spark.operators.graph import bfs_distances
+
+    # chain 0-1-2-3-4-5-6 plus a disconnected triangle 10-11-12
+    edges = [(i, i + 1) for i in range(6)] + [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(df, srcs, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 5,6 beyond hops;
+    assert 10 not in got                          # triangle unreached
+    assert got == _py_bfs(edges, [0], 4)
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from serialization_agents_spark.operators.graph import bfs_distances
+
+    edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (8,)], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(df, srcs, max_hops=4).collect()}
+    assert got == _py_bfs(edges, [0, 8], 4)
+    assert got[4] == 4 and got[6] == 2  # nearest source wins
+
+
+def test_bfs_partitioning_invariant(spark):
+    from serialization_agents_spark.operators.graph import bfs_distances
+
+    edges = [(i % 37, (i * 5 + 2) % 37) for i in range(150)]
+    srcs_rows = [(0,), (13,)]
+    a = bfs_distances(
+        spark.createDataFrame(edges, "src long, dst long").coalesce(1),
+        spark.createDataFrame(srcs_rows, "node long"), max_hops=3,
+    )
+    b = bfs_distances(
+        spark.createDataFrame(edges, "src long, dst long").repartition(11),
+        spark.createDataFrame(srcs_rows, "node long"), max_hops=3,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert {r[0]: r[1] for r in a.collect()} == _py_bfs(edges, [0, 13], 3)
