@@ -1915,6 +1915,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_subjects").cast("long").alias("n_subjects"),
         )
 
+    def o10_session_window(spark, sf):
+        """Spark's native merging session windows (F.session_window,
+        streaming/windowed.py session_metrics) over the events table —
+        the merging-window state shape, certified on batch input against
+        a DuckDB gaps-and-islands replay (new session iff
+        ts - prev > gap, boundary merges; session_end = last_ts + gap). The streaming
+        run of the SAME plan (append mode, watermark late-drop, session
+        fusion) is pinned by tests/test_streaming_windowed.py."""
+        from serialization_agents_spark.streaming.windowed import session_metrics
+
+        s = session_metrics(_t(spark, sf, "events"), gap="30 minutes")
+        return s.select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events", "value_cents",
+        )
+
     def kg_incremental_fold(spark, sf):
         """Streaming surface under the driver gate: the kg pages split
         into 3 deterministic batches (doc_id % 3) and folded one at a
@@ -2044,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o7_sliding_window": o7_sliding_window,
         "o8_percentiles": o8_percentiles,
         "o9_interval_join": o9_interval_join,
+        "o10_session_window": o10_session_window,
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
         "kg_bfs_hops": kg_bfs_hops,
@@ -2606,6 +2625,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Range join replayed as the plain non-equi join (DuckDB plans
         # an IEJoin); micros and cents are integer end-to-end.
+        # Native session windows: islands via lag/cumsum; Spark's
+        # session rule is new-session iff ts - prev > gap (an event AT
+        # exactly last_ts + gap still MERGES — pinned by pytest),
+        # end = last_ts + gap.
+        "o10_session_window": (
+            "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, "
+            "round(value * 100)::BIGINT AS cents FROM events), "
+            "o AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL "
+            "OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns "
+            "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id "
+            "ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, min(tsu) AS session_start_us, "
+            "max(tsu) + 1800000000 AS session_end_us, "
+            "count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents "
+            "FROM s GROUP BY user_id, sid"
+        ),
         "o9_interval_join": (
             "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
             "round(value * 100)::BIGINT AS cents FROM events), "

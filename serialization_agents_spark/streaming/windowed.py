@@ -97,3 +97,82 @@ def stream_windowed_metrics_to_parquet(
         .option("path", out_dir)
         .start()
     )
+
+
+def session_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """events (stream OR batch) -> one row per merged session:
+    (user_id, session_start, session_end, n_events, value_cents).
+
+    Uses Spark's native merging session windows (F.session_window): a
+    session extends while the next event arrives before last_ts + gap,
+    and session_end = last_ts + gap. This is the MERGING-window state
+    shape (two sessions can fuse when a bridging event arrives) — a
+    different streaming state machine from the tumbling windows above
+    and from the hand-rolled lag/cumsum sessionize (o4), which it must
+    agree with on batch input.
+
+    On a streaming input the watermark bounds session state and defines
+    the late-drop contract (append mode emits a session once the
+    watermark passes its end — tail sessions stay in state until then);
+    on a batch input the same plan just aggregates.
+
+    value_cents sums integer cents, never raw doubles (cross-engine
+    float sums differ by reduction order).
+    """
+    ev = events.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+SESSION_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def stream_session_metrics_to_parquet(
+    spark,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """readStream(events) -> merging session windows -> parquet, APPEND
+    mode: a session row is written exactly once, when the watermark
+    passes its end (sessions can still FUSE while unemitted). Returns
+    the started availableNow query."""
+    stream = (
+        spark.readStream.schema(SESSION_EVENTS_SCHEMA)
+        .parquet(events_dir)
+    )
+    metrics = session_metrics(stream, gap, watermark)
+    return (
+        metrics.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
