@@ -1415,6 +1415,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(e1.union(e2), iterations=3, weight_col="w")
 
+    def kg_er_metrics(spark, sf):
+        """Pair-counting ER evaluation (operators/evaluate.py): scores
+        naive name-block clustering (the normalized-name key) against
+        the pipeline's authority-resolved entity_key over the distinct
+        linked mention instances — the regression metric that shows what
+        the redirect/viaf/lcnaf cascade buys over pure normalization.
+        All cross-row arithmetic is exact BIGINT (C(n,2) sums), the
+        three ratios divide identical integers in both engines."""
+        from serialization_agents_spark.operators.evaluate import (
+            pairwise_cluster_metrics,
+        )
+
+        linked, _agents, _canonical = _kg_canonical(spark, sf)
+        items = linked.select("url", "name_raw", "entity_key", "name_norm").distinct()
+        return pairwise_cluster_metrics(
+            items, gold_col="entity_key", pred_col="name_norm"
+        )
+
     def kg_bfs_hops(spark, sf):
         """Multi-source BFS hop distances (4 synchronous rounds) over
         the doc_id-derived block graph — certifies the iterative
@@ -2066,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
         "kg_bfs_hops": kg_bfs_hops,
+        "kg_er_metrics": kg_er_metrics,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_triangles": kg_triangles,
         "o5_asof_join": o5_asof_join,
@@ -2682,6 +2701,35 @@ def oracle_sql() -> dict[str, str]:
         # Synchronous LPA replay: the argmax is a row_number window in
         # SQL but (votes desc, label asc) ordering is identical to the
         # Spark min-struct; UNION ALL keeps parallel-edge multiplicity.
+        # Pairwise ER metrics over the pipeline CTEs: the naive blocking
+        # key is the SAME normalization the noViaf surrogate hashes (its
+        # equality with Spark's X1 fold is already certified through
+        # kg_linked's entity_key); all cross-row sums are BIGINT C(n,2).
+        "kg_er_metrics": (
+            _KG_SQL_BASE
+            + """, items AS (
+  SELECT DISTINCT url, name_raw, entity_key,
+         trim(regexp_replace(lower(name_raw), '[^a-z0-9]+', ' ', 'g')) AS name_norm
+  FROM linked
+),
+cells AS (SELECT entity_key AS g, name_norm AS p, count(*)::BIGINT AS n
+          FROM items GROUP BY 1, 2),
+tp AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS tp_pairs,
+              sum(n)::BIGINT AS n_items FROM cells),
+gold AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS gold_pairs
+         FROM (SELECT sum(n) AS n FROM cells GROUP BY g)),
+pred AS (SELECT sum(n * (n - 1) // 2)::BIGINT AS pred_pairs
+         FROM (SELECT sum(n) AS n FROM cells GROUP BY p))
+SELECT n_items, gold_pairs, pred_pairs, tp_pairs,
+       CASE WHEN pred_pairs > 0 THEN
+         round(tp_pairs::DOUBLE * 10000 / pred_pairs)::BIGINT END AS precision_e4,
+       CASE WHEN gold_pairs > 0 THEN
+         round(tp_pairs::DOUBLE * 10000 / gold_pairs)::BIGINT END AS recall_e4,
+       CASE WHEN pred_pairs + gold_pairs > 0 THEN
+         round(tp_pairs::DOUBLE * 2 * 10000 / (pred_pairs + gold_pairs))::BIGINT
+       END AS f1_e4
+FROM tp, gold, pred"""
+        ),
         # Multi-source BFS: 4 unrolled frontier-join/min rounds; least()
         # skips NULLs identically in both engines; unreached omitted.
         "kg_bfs_hops": (
