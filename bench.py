@@ -44,7 +44,19 @@ HEADLINE = [
     "kg_cooccurrence",
     "ann_cosine_top3",
     "ann_ivf_top3",
+    # quantized Lloyd refinement: per-round Arrow assignment + one
+    # (cells x dim) mean shuffle
+    "ann_kmeans_refine",
     "dedup_embedding_neardup",
+    # stride-1 repeated-span fraction (ExactSubstr-lite): window explode
+    # + one hash agg + one equi-join back
+    "dedup_repeated_spans",
+    # winnowing fingerprints at ~2/5 density + fp-blocked pair join
+    "dedup_winnow_pairs",
+    # CCNet-style LM quality buckets: LM hash agg + dim join + quantile
+    "text_perplexity_bucket",
+    # bucketized point-in-interval join (events x validity windows)
+    "o9_interval_join",
     "text_quality",
     "text_lang_id",
     "j1_broadcast_lookup_join",
