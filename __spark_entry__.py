@@ -1270,6 +1270,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chars").alias("total_chars"),
         )
 
+    def o11_pivot_event_types(spark, sf):
+        """groupBy().pivot() surface with an EXPLICIT value list (the
+        at-scale form: an implicit list costs an extra distinct pass
+        and nondeterministic column sets) — per-user event-type counts
+        as columns, one shuffle. Oracle replays as conditional aggs."""
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("user_id")
+            .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0)
+        )
+
+    def a9_cube_counts(spark, sf):
+        """CUBE over (source, lang) with grouping_id — completes the
+        grouping-sets surface next to a8's ROLLUP (adds the
+        lang-only subtotal slice ROLLUP omits; same single-shuffle
+        Expand plan)."""
+        docs = _t(spark, sf, "documents")
+        return docs.cube("source", "lang").agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
     def o6_trailing_window(spark, sf):
         """Trailing 1-hour RANGE-frame window per user: event count and
         exact integer-cents value sum (doubles are summed NOWHERE —
@@ -2076,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_gate": text_quality_gate,
         "corpus_shard_pack": corpus_shard_pack,
         "a8_rollup_counts": a8_rollup_counts,
+        "a9_cube_counts": a9_cube_counts,
+        "o11_pivot_event_types": o11_pivot_event_types,
         "o6_trailing_window": o6_trailing_window,
         "o7_sliding_window": o7_sliding_window,
         "o8_percentiles": o8_percentiles,
@@ -2611,6 +2638,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, GROUPING(source, lang)::BIGINT AS gid, "
             "count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "
             "FROM documents GROUP BY ROLLUP (source, lang)"
+        ),
+        "a9_cube_counts": (
+            "SELECT source, lang, GROUPING(source, lang)::BIGINT AS gid, "
+            "count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "
+            "FROM documents GROUP BY CUBE (source, lang)"
+        ),
+        # Pivot = conditional aggregation; count over a filter never
+        # yields NULL so the na.fill(0) on the Spark side is symmetric.
+        "o11_pivot_event_types": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"count(*) FILTER (event_type = '{t}')::BIGINT AS {t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY user_id"
         ),
         "o6_trailing_window": (
             "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "
