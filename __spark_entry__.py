@@ -1115,6 +1115,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs, _dropped = D.winnow_pairs(_t(spark, sf, "documents"))
         return pairs
 
+    def dedup_winnow_pairs_prod(spark, sf):
+        """The PRODUCTION hash configuration of the winnowing pairs
+        (hash_fn='xxhash64': one 64-bit JVM hash per gram vs an md5 hex
+        string — same fingerprint guarantee, different hash family). md5
+        stays the cross-engine default certified by dedup_winnow_pairs'
+        DuckDB oracle; this twin has no SQL oracle (DuckDB lacks
+        xxhash64) so the driver records the rows-only check, and
+        bench.py reports THIS path as the headline."""
+        pairs, _dropped = D.winnow_pairs(
+            _t(spark, sf, "documents"), hash_fn="xxhash64"
+        )
+        return pairs
+
     def dedup_repeated_spans(spark, sf):
         """Cross-doc repeated-span fraction: every 10-token window
         (stride 1, exact for any alignment), duplicated when the window
@@ -2077,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": dedup_chunks,
         "dedup_repeated_spans": dedup_repeated_spans,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "dedup_winnow_pairs_prod": dedup_winnow_pairs_prod,
         "dedup_neardup_clusters": dedup_neardup_clusters,
         "ann_cosine_top3": ann_cosine_top3,
         "ann_lsh_top3": ann_lsh_top3,

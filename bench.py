@@ -52,7 +52,8 @@ HEADLINE = [
     # + one hash agg + one equi-join back
     "dedup_repeated_spans",
     # winnowing fingerprints at ~2/5 density + fp-blocked pair join
-    "dedup_winnow_pairs",
+    # (xxhash64 prod family; md5 stays on the CORRECTNESS row)
+    "dedup_winnow_pairs_prod",
     # CCNet-style LM quality buckets: LM hash agg + dim join + quantile
     "text_perplexity_bucket",
     # bucketized point-in-interval join (events x validity windows)

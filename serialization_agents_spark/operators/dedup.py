@@ -465,18 +465,21 @@ def winnow_fingerprints(
         hs = F.transform(grams, lambda g: F.xxhash64(g))
     else:
         hs = F.transform(grams, lambda g: F.md5(g))
-    fps = F.when(
-        F.size(toks) >= k + w - 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - k - w + 1),
-                lambda j: F.array_min(F.slice(hs, j + 1, w)),
-            )
-        ),
+    # MATERIALIZE the gram-hash array before the window pass: HOFs are
+    # interpreted (no codegen, no common-subexpression elimination), so
+    # without the checkpoint the per-window lambda re-evaluates the
+    # ENTIRE hs transform — O(len^2 * k) md5 calls per doc, measured 60x
+    # slower at sf0.1. One linear hash pass, then O(len * w) window mins.
+    hashed = docs.where(F.size(toks) >= k + w - 1).select(
+        F.col(id_col).alias("doc_id"), hs.alias("_hs")
+    ).localCheckpoint(eager=False)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_hs")) - w),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j + 1, w)),
+        )
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(fps).alias("fp")
-    ).distinct()
+    return hashed.select("doc_id", F.explode(fps).alias("fp")).distinct()
 
 
 def winnow_pairs(
