@@ -237,7 +237,9 @@ def label_propagation(
     ).where(F.col("src") != F.col("dst"))
     und = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).repartition("src")
+    ).repartition("dst")  # the per-iteration join keys on dst — pinning
+    # that partitioning here (preserved through the localCheckpoint's
+    # LogicalRDD) saves one edge-list Exchange every round
     if checkpoint:
         und = und.localCheckpoint(eager=True)
     nodes = (
@@ -291,7 +293,7 @@ def bfs_distances(
     ).where(F.col("src") != F.col("dst"))
     und = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition("src")
+    ).repartition("dst")  # frontier join keys on dst (see label_propagation)
     if checkpoint:
         und = und.localCheckpoint(eager=True)
     nodes = und.select(F.col("src").alias("node")).distinct()

@@ -351,7 +351,8 @@ def ngram_counts(
 
 
 def perplexity_buckets(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       exact_quantiles: bool = True) -> DataFrame:
     """CCNet-style language-model quality buckets: score every document
     by its average negative log-probability under the corpus's own
     add-one-smoothed unigram LM, then split the corpus at the exact
@@ -368,9 +369,17 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
     combine absorbs the Zipf head), one dim-join of tokens against the
     per-term cost table (hot stop-word keys are join-skew on the probe
     side only; AQE skew-join splits them), one per-doc agg, and a
-    single-row exact-percentile agg broadcast back — never a global
-    sort or single-partition window. Docs with zero non-empty tokens
-    carry no LM evidence and are excluded (the explode drops them).
+    single-row quantile agg broadcast back — never a global sort or
+    single-partition window. Docs with zero non-empty tokens carry no
+    LM evidence and are excluded (the explode drops them).
+
+    exact_quantiles=True (the cross-engine-replayable default) uses
+    `percentile`, whose ObjectHashAggregate buffers every doc's score
+    in one final task — exact, but O(n_docs) driver-side-style memory.
+    At 10^10+ docs pass False: `percentile_approx` (t-digest, bounded
+    sketch, mergeable map-side) moves the thresholds by at most the
+    sketch error, which only reassigns docs within noise of the
+    quartile boundary — the standard CCNet-scale trade.
     """
     tok = (
         docs.select(F.col(id_col).alias("doc_id"),
@@ -406,8 +415,9 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
         )
         .localCheckpoint(eager=False)  # feeds the quantile AND the output
     )
+    pct_fn = "percentile" if exact_quantiles else "percentile_approx"
     q = scored.agg(
-        F.expr("percentile(avg_nll_e4, array(0.25D, 0.75D))").alias("q")
+        F.expr(f"{pct_fn}(avg_nll_e4, array(0.25D, 0.75D))").alias("q")
     ).select(F.col("q")[0].alias("p25"), F.col("q")[1].alias("p75"))
     return scored.crossJoin(F.broadcast(q)).select(
         "doc_id", "n_tokens", "avg_nll_e4",
