@@ -1058,6 +1058,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = emb.where(F.col("vec_id") >= 5)
         return S.ivf_topk(corpus, queries_df, k=3)
 
+    def ann_sq8_top3(spark, sf):
+        """Scalar-quantized (SQ8/uint8) brute-force top-3: per-dim
+        corpus min/max grid, integer dot scoring — the memory-bound ANN
+        technique (4x compression) with EXACT BIGINT scores, so the
+        ranking is bit-reproducible cross-engine with no float rounding
+        games (operators/similarity.py sq8_codes / sq8_topk)."""
+        emb = _t(spark, sf, "embeddings")
+        return S.sq8_topk(
+            emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=3
+        )
+
     def ann_kmeans_refine(spark, sf):
         """Quantized Lloyd k-means over the full embeddings table: LCG
         init shared with the IVF oracle family, two assign->mean rounds
@@ -2097,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_top3": ann_lsh_multiprobe_top3,
         "ann_ivf_top3": ann_ivf_top3,
         "ann_kmeans_refine": ann_kmeans_refine,
+        "ann_sq8_top3": ann_sq8_top3,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "text_lang_id": text_lang_id,
         "text_quality": text_quality,
@@ -3146,6 +3158,32 @@ FROM kinds WHERE kind = 'image'
         "ann_lsh_multiprobe_top3": _ann_lsh_sql(n_probes=3),
         "ann_ivf_top3": _ann_ivf_sql(),
         "ann_kmeans_refine": _kmeans_sql(),
+        # SQ8: corpus-grid codes, integer dot (<= 64 * 255^2, exact in
+        # any engine); degenerate dims span-default 1.0 on both sides.
+        "ann_sq8_top3": (
+            "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings WHERE len(embedding) = 64 AND vec_id >= 5), "
+            "qs AS (SELECT vec_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings WHERE len(embedding) = 64 AND vec_id < 5), "
+            "p AS (SELECT unnest(range(64)) AS pos), "
+            "ext AS (SELECT pos, min(cv[pos + 1]) AS lo, "
+            "CASE WHEN max(cv[pos + 1]) > min(cv[pos + 1]) "
+            "THEN max(cv[pos + 1]) - min(cv[pos + 1]) ELSE 1.0 END AS span "
+            "FROM corpus CROSS JOIN p GROUP BY pos), "
+            "cc AS (SELECT vec_id, pos, "
+            "round((cv[pos + 1] - lo) * 255 / span)::BIGINT AS code "
+            "FROM corpus CROSS JOIN ext), "
+            "qc AS (SELECT vec_id, pos, "
+            "round((cv[pos + 1] - lo) * 255 / span)::BIGINT AS code "
+            "FROM qs CROSS JOIN ext), "
+            "dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "sum(q.code * c.code)::BIGINT AS dot_q "
+            "FROM qc q JOIN cc c USING (pos) GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, dot_q, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY dot_q DESC, neighbor_id ASC) AS rank FROM dots) "
+            "WHERE rank <= 3"
+        ),
         "dedup_embedding_neardup": _neardup_sql(),
         "j4_fuzzy_scores": _string_score_sql(),
         "j5_variant_match": """

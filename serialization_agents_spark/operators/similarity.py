@@ -637,3 +637,106 @@ def embedding_neardup_pairs(
         F.col("cosine") >= threshold
     )
     return pairs, dropped
+
+
+def sq8_codes(
+    embeddings: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], list[float]]:
+    """Scalar quantization to uint8 codes (the SQ8 of FAISS-style ANN):
+    per-dimension global [min, max] linear grid, code_i = round(
+    (x_i - min_i) * 255 / (max_i - min_i)) — 4x smaller vectors, and
+    integer arithmetic downstream (an int8 dot of 64 dims maxes at
+    64 * 255^2 ≈ 4.2e6: exactly representable, so scoring is
+    bit-reproducible in ANY engine, unlike float cosine).
+
+    The per-dim extrema are ONE posexplode agg (64 rows, collected
+    driver-side like the IVF centroid table — bounded by dim, never by
+    corpus). Degenerate dims (max == min) code to 0. NULL/ragged
+    vectors get NULL codes (dropped by downstream joins).
+
+    Returns (codes_df(id, code array<int>), mins, maxs).
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).where(F.size(vec_col) == dim)
+    ext = (
+        v.select(F.posexplode("cv").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    mins = [0.0] * dim
+    maxs = [0.0] * dim
+    for r in ext:
+        mins[r["pos"]], maxs[r["pos"]] = r["lo"], r["hi"]
+    lo = F.array(*[F.lit(float(m)) for m in mins])
+    span = F.array(
+        *[F.lit(float(h - m) if h > m else 1.0) for m, h in zip(mins, maxs)]
+    )
+    code = F.transform(
+        F.col("cv"),
+        lambda x, i: F.round(
+            (x - F.element_at(lo, i + 1)) * 255 / F.element_at(span, i + 1)
+        ).cast("int"),
+    )
+    return v.select("vid", code.alias("code")), mins, maxs
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by integer dot product over SQ8 codes:
+    (query_id, neighbor_id, dot_q, rank). The quantization grid comes
+    from the CORPUS side only (queries are coded with the same grid, as
+    a production index would). Scoring is exact BIGINT — ties break on
+    neighbor_id. Same broadcast-bounded shape as cosine_topk; at scale
+    the 4x code compression is the point (memory-bound brute force).
+    """
+    codes, mins, maxs = sq8_codes(embeddings, dim, id_col, vec_col)
+    lo = F.array(*[F.lit(float(m)) for m in mins])
+    span = F.array(
+        *[F.lit(float(h - m) if h > m else 1.0) for m, h in zip(mins, maxs)]
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).where(F.size(vec_col) == dim)
+    qcode = qv.select(
+        "query_id",
+        F.transform(
+            F.col("cv"),
+            lambda x, i: F.round(
+                (x - F.element_at(lo, i + 1)) * 255 / F.element_at(span, i + 1)
+            ).cast("int"),
+        ).alias("qcode"),
+    )
+    scored = F.broadcast(qcode).crossJoin(
+        codes.withColumnRenamed("vid", "neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        F.aggregate(
+            F.zip_with("qcode", "code", lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "dot_q",
+            F.col("rank").cast("long").alias("rank"),  # BIGINT parity
+        )
+    )

@@ -317,3 +317,63 @@ def test_kmeans_lloyd_no_negative_zero(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     for r in S.kmeans_lloyd(emb, n_centroids=2, n_iters=1, dim=2).collect():
         assert math.copysign(1.0, r["c_val"]) > 0 or r["c_val"] != 0.0
+
+
+def _py_sq8(corpus, queries, k, dim):
+    import math as _m
+
+    lo = [min(v[i] for _, v in corpus) for i in range(dim)]
+    hi = [max(v[i] for _, v in corpus) for i in range(dim)]
+    span = [h - l if h > l else 1.0 for l, h in zip(lo, hi)]
+
+    def code(v):
+        return [
+            int(_m.copysign(_m.floor(abs((x - l) * 255 / s) + 0.5), (x - l)))
+            for x, l, s in zip(v, lo, span)
+        ]
+
+    cc = {i: code(v) for i, v in corpus}
+    out = {}
+    for qid, qv in queries:
+        qc = code(qv)
+        scored = sorted(
+            ((sum(a * b for a, b in zip(qc, c)), -nid) for nid, c in cc.items()),
+            reverse=True,
+        )
+        out[qid] = [(-n, d) for d, n in scored[:k]]
+    return out
+
+
+def test_sq8_topk_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(3)
+    corpus = [(10 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    queries = [(0, [rng.uniform(-1, 1) for _ in range(8)]),
+               (1, [rng.uniform(-1, 1) for _ in range(8)])]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    got = {}
+    for r in S.sq8_topk(c, q, k=3, dim=8).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["dot_q"], r["rank"])
+        )
+    want = _py_sq8(corpus, queries, 3, 8)
+    for qid in want:
+        rows = sorted(got[qid], key=lambda t: t[2])
+        assert [(n, d) for n, d, _ in rows] == want[qid]
+
+
+def test_sq8_degenerate_dim_and_ragged(spark):
+    # dim 1 is constant across the corpus (span defaults to 1.0, code 0);
+    # a ragged vector is excluded from both the grid and the results
+    corpus = [(10, [0.5, 7.0]), (11, [-0.5, 7.0]), (12, [0.1])]
+    queries = [(0, [0.4, 7.0])]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(queries, "vec_id long, embedding array<double>")
+    rows = S.sq8_topk(c, q, k=5, dim=2).collect()
+    assert {r["neighbor_id"] for r in rows} == {10, 11}  # 12 dropped
+    codes, mins, maxs = S.sq8_codes(c, dim=2)
+    assert mins == [-0.5, 7.0] and maxs == [0.5, 7.0]
+    got = {r["vid"]: r["code"] for r in codes.collect()}
+    assert got[10] == [255, 0] and got[11] == [0, 0]
