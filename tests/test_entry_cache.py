@@ -54,4 +54,6 @@ def test_every_oracle_key_has_a_query():
     assert o <= q, f"oracles without queries: {sorted(o - q)}"
     # and the intentionally-weaker rows-only set stays small and known
     # (xxhash64 signatures are not replayable in DuckDB by design)
-    assert sorted(q - o) == ["dedup_minhash_pairs_prod"]
+    assert sorted(q - o) == [
+        "dedup_minhash_pairs_prod", "dedup_winnow_pairs_prod"
+    ]
