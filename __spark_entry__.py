@@ -1294,6 +1294,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_chars").alias("total_chars"),
         )
 
+    def u4_intersect_except(spark, sf):
+        """INTERSECT / EXCEPT set semantics (the one relational-algebra
+        surface u2/u3 don't touch): two derived customer snapshots,
+        rows tagged 'both' (INTERSECT) and 'only_a' (EXCEPT), unioned.
+        Spark plans both as aggregate-backed semi/anti joins — no
+        distinct-then-join hand-rolling."""
+        c = _t(spark, sf, "customer").select("c_custkey")
+        a = c.where(F.col("c_custkey") % 2 == 0)
+        b = c.where(F.col("c_custkey") % 3 == 0)
+        return a.intersect(b).select(
+            F.lit("both").alias("op"), "c_custkey"
+        ).unionByName(
+            a.exceptAll(b).distinct().select(
+                F.lit("only_a").alias("op"), "c_custkey"
+            )
+        )
+
     def o11_pivot_event_types(spark, sf):
         """groupBy().pivot() surface with an EXPLICIT value list (the
         at-scale form: an implicit list costs an extra distinct pass
@@ -2129,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_rollup_counts": a8_rollup_counts,
         "a9_cube_counts": a9_cube_counts,
         "o11_pivot_event_types": o11_pivot_event_types,
+        "u4_intersect_except": u4_intersect_except,
         "o6_trailing_window": o6_trailing_window,
         "o7_sliding_window": o7_sliding_window,
         "o8_percentiles": o8_percentiles,
@@ -2669,6 +2687,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, lang, GROUPING(source, lang)::BIGINT AS gid, "
             "count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars "
             "FROM documents GROUP BY CUBE (source, lang)"
+        ),
+        "u4_intersect_except": (
+            "WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0), "
+            "b AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) "
+            "SELECT 'both' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b) "
+            "UNION ALL "
+            "SELECT 'only_a' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)"
         ),
         # Pivot = conditional aggregation; count over a filter never
         # yields NULL so the na.fill(0) on the Spark side is symmetric.
