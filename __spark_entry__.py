@@ -1087,6 +1087,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
+    def text_lang_confusion(spark, sf):
+        """Language-ID confusion matrix vs the corpus's labeled lang
+        column — the accuracy diagnostic a curation pipeline tracks per
+        crawl (one hash agg over (label, prediction); the same
+        evaluation-as-operator posture as kg_er_metrics)."""
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(
+                F.col("lang").alias("lang_true"),
+                T.lang_id(F.col("text")).alias("lang_pred"),
+            )
+            .groupBy("lang_true", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
     def text_quality(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
@@ -2128,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_top3": ann_sq8_top3,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "text_lang_id": text_lang_id,
+        "text_lang_confusion": text_lang_confusion,
         "text_quality": text_quality,
         "text_token_counts": text_token_counts,
         "text_fingerprint": text_fingerprint,
@@ -2476,6 +2492,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
             "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
             "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+        ),
+        "text_lang_confusion": (
+            f"WITH s AS (SELECT lang AS lang_true, {lang_counts} FROM documents), "
+            "p AS (SELECT lang_true, CASE "
+            "WHEN s_en <= 0 AND s_de <= 0 AND s_fr <= 0 AND s_es <= 0 THEN 'und' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s) "
+            "SELECT lang_true, lang_pred, count(*)::BIGINT AS n_docs "
+            "FROM p GROUP BY 1, 2"
         ),
         "text_quality": (
             qual_cte("doc_id") + " SELECT doc_id, " + qual_expr + " AS quality FROM q"
