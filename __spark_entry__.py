@@ -1496,6 +1496,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(e1.union(e2), iterations=3, weight_col="w")
 
+    def kg_temporal_provenance(spark, sf):
+        """Temporal provenance for the KG: per entity, the first/last
+        crawl timestamp and distinct-page support of its mentions —
+        the validity-interval layer a continuously-crawled KG needs
+        for triple aging/decay. Crawl ts derives from the synth pages'
+        warc_ts law (epoch + doc_id * 37, __spark_entry__._kg_pages),
+        reconstructed from the url on both engines; one distinct + one
+        hash agg on the already-linked layer."""
+        linked, _agents, _canonical = _kg_canonical(spark, sf)
+        d = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        pages = linked.select(
+            "entity_key", "url", (F.lit(1704067200) + d * 37).alias("ts_s")
+        ).distinct()
+        return pages.groupBy("entity_key").agg(
+            F.min("ts_s").alias("first_seen_s"),
+            F.max("ts_s").alias("last_seen_s"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+
     def kg_er_metrics(spark, sf):
         """Pair-counting ER evaluation (operators/evaluate.py): scores
         naive name-block clustering (the normalized-name key) against
@@ -2172,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_prop": kg_label_prop,
         "kg_bfs_hops": kg_bfs_hops,
         "kg_er_metrics": kg_er_metrics,
+        "kg_temporal_provenance": kg_temporal_provenance,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_triangles": kg_triangles,
         "o5_asof_join": o5_asof_join,
@@ -2820,6 +2840,17 @@ def oracle_sql() -> dict[str, str]:
         # Synchronous LPA replay: the argmax is a row_number window in
         # SQL but (votes desc, label asc) ordering is identical to the
         # Spark min-struct; UNION ALL keeps parallel-edge multiplicity.
+        # Temporal provenance: (url, entity) distinct from the pipeline
+        # CTEs, ts reconstructed by the same warc_ts law.
+        "kg_temporal_provenance": (
+            _KG_SQL_BASE
+            + ", pg AS (SELECT DISTINCT entity_key, url, "
+            "1704067200 + CAST(regexp_extract(url, '/doc/(\\d+)$', 1) AS BIGINT) * 37 AS ts_s "
+            "FROM linked) "
+            "SELECT entity_key, min(ts_s) AS first_seen_s, "
+            "max(ts_s) AS last_seen_s, count(*)::BIGINT AS n_pages "
+            "FROM pg GROUP BY entity_key"
+        ),
         # Pairwise ER metrics over the pipeline CTEs: the naive blocking
         # key is the SAME normalization the noViaf surrogate hashes (its
         # equality with Spark's X1 fold is already certified through
