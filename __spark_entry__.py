@@ -1496,6 +1496,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(e1.union(e2), iterations=3, weight_col="w")
 
+    def kg_negative_samples(spark, sf):
+        """Deterministic corrupt-tail negatives over the co-mention
+        edge set — the link-prediction training negatives a KG-embedding
+        trainer consumes (operators/graph.py negative_edge_samples):
+        b_neg = entity at ((idx_a * salt + idx_b) mod n) + 1 in the
+        enumerated registry order, degenerate and false negatives
+        dropped. Pure integer sampling: same negatives in any engine."""
+        from serialization_agents_spark.operators.enumerate_ids import enumerate_ids
+        from serialization_agents_spark.operators.graph import (
+            cooccurrence_edges,
+            negative_edge_samples,
+        )
+
+        linked, _agents, canonical = _kg_canonical(spark, sf)
+        edges = cooccurrence_edges(linked, doc_col="url", key_col="entity_key")
+        ids = enumerate_ids(canonical, order_col="entity_key").select(
+            "entity_key", (F.col("registry_id") - 9999999).alias("idx")
+        )
+        return negative_edge_samples(edges, ids, canonical.count())
+
     def kg_temporal_provenance(spark, sf):
         """Temporal provenance for the KG: per entity, the first/last
         crawl timestamp and distinct-page support of its mentions —
@@ -2192,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_hops": kg_bfs_hops,
         "kg_er_metrics": kg_er_metrics,
         "kg_temporal_provenance": kg_temporal_provenance,
+        "kg_negative_samples": kg_negative_samples,
         "kg_cooccurrence": kg_cooccurrence,
         "kg_triangles": kg_triangles,
         "o5_asof_join": o5_asof_join,
@@ -2840,6 +2861,44 @@ def oracle_sql() -> dict[str, str]:
         # Synchronous LPA replay: the argmax is a row_number window in
         # SQL but (votes desc, label asc) ordering is identical to the
         # Spark min-struct; UNION ALL keeps parallel-edge multiplicity.
+        # Corrupt-tail negatives: the cooccurrence CTE + enumerated ids
+        # + pure integer index arithmetic; least/greatest canonical pair
+        # for the false-negative anti-join.
+        "kg_negative_samples": (
+            _KG_SQL_BASE
+            + """,
+dm AS (SELECT DISTINCT url, entity_key FROM linked),
+capped AS (
+  SELECT url, entity_key FROM (
+    SELECT url, entity_key,
+           row_number() OVER (PARTITION BY url ORDER BY entity_key) AS rn
+    FROM dm) t
+  WHERE rn <= 16
+),
+co AS (
+  SELECT x.entity_key AS a, y.entity_key AS b, count(*) AS co_pages
+  FROM capped x JOIN capped y ON x.url = y.url AND x.entity_key < y.entity_key
+  GROUP BY 1, 2
+),
+ids AS (SELECT entity_key, row_number() OVER (ORDER BY entity_key) AS idx
+        FROM entities),
+nn AS (SELECT count(*) AS n FROM entities),
+cand AS (
+  SELECT co.a, co.b,
+         (ia.idx * 2654435761 + ib.idx) % (SELECT n FROM nn) + 1 AS neg_idx
+  FROM co JOIN ids ia ON ia.entity_key = co.a
+          JOIN ids ib ON ib.entity_key = co.b
+),
+neg AS (
+  SELECT c.a, c.b, i.entity_key AS b_neg
+  FROM cand c JOIN ids i ON i.idx = c.neg_idx
+  WHERE i.entity_key <> c.a AND i.entity_key <> c.b
+)
+SELECT g.a, g.b, g.b_neg
+FROM neg g LEFT JOIN co e
+  ON e.a = least(g.a, g.b_neg) AND e.b = greatest(g.a, g.b_neg)
+WHERE e.a IS NULL"""
+        ),
         # Temporal provenance: (url, entity) distinct from the pipeline
         # CTEs, ts reconstructed by the same warc_ts law.
         "kg_temporal_provenance": (

@@ -319,3 +319,54 @@ def bfs_distances(
         if checkpoint:
             dist = dist.localCheckpoint(eager=False)
     return dist.where(F.col("dist").isNotNull())
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    ids: DataFrame,
+    n_nodes: int,
+    salt: int = 2654435761,
+    a_col: str = "a",
+    b_col: str = "b",
+    key_col: str = "entity_key",
+    idx_col: str = "idx",
+) -> DataFrame:
+    """Deterministic corrupt-tail negative sampling for KG-embedding
+    training (the TransE-style negatives a link-prediction trainer
+    needs, generated as a dataset operator rather than at train time):
+    for every positive edge (a, b), propose b_neg = node at index
+    ((idx_a * salt + idx_b) mod n_nodes) + 1 — a pure integer function
+    of the edge, so every engine, run, and partitioning produces the
+    SAME negatives — then drop degenerate proposals (b_neg in {a, b})
+    and false negatives (pairs that are real edges, checked on the
+    (least, greatest) canonical ordering via one anti-join).
+
+    `ids` is a (key_col, idx_col) frame with idx contiguous 1..n_nodes
+    (enumerate_ids output shifted); `n_nodes` its count. Three hash
+    joins against the entity-scale id map + one anti-join against the
+    edges — no RNG state, no driver-side sampling.
+    """
+    ia = ids.select(F.col(key_col).alias(a_col), F.col(idx_col).alias("_ia"))
+    ib = ids.select(F.col(key_col).alias(b_col), F.col(idx_col).alias("_ib"))
+    bn = ids.select(
+        F.col(key_col).alias("b_neg"), F.col(idx_col).alias("_neg_idx")
+    )
+    cand = (
+        edges.join(ia, a_col)
+        .join(ib, b_col)
+        .withColumn(
+            "_neg_idx",
+            (F.col("_ia") * F.lit(salt) + F.col("_ib")) % F.lit(n_nodes) + 1,
+        )
+        .join(bn, "_neg_idx")
+        .where((F.col("b_neg") != F.col(a_col)) & (F.col("b_neg") != F.col(b_col)))
+    )
+    true_pairs = edges.select(
+        F.col(a_col).alias("_p1"), F.col(b_col).alias("_p2")
+    )
+    return (
+        cand.withColumn("_p1", F.least(a_col, "b_neg"))
+        .withColumn("_p2", F.greatest(a_col, "b_neg"))
+        .join(true_pairs, ["_p1", "_p2"], "left_anti")
+        .select(a_col, b_col, "b_neg")
+    )
