@@ -283,3 +283,36 @@ def test_bfs_partitioning_invariant(spark):
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert {r[0]: r[1] for r in a.collect()} == _py_bfs(edges, [0, 13], 3)
+
+
+def test_negative_samples_deterministic_and_clean(spark):
+    from serialization_agents_spark.operators.graph import negative_edge_samples
+
+    # 6 nodes n0..n5, edges on a path; ids 1..6 in sorted order
+    nodes = [f"n{i}" for i in range(6)]
+    edges = [("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n0", "n3")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    ids = spark.createDataFrame(
+        [(k, i + 1) for i, k in enumerate(sorted(nodes))],
+        "entity_key string, idx long",
+    )
+    got = {(r["a"], r["b"]): r["b_neg"]
+           for r in negative_edge_samples(e, ids, 6).collect()}
+
+    idx = {k: i + 1 for i, k in enumerate(sorted(nodes))}
+    key = {v: k for k, v in idx.items()}
+    true_set = {tuple(sorted(p)) for p in edges}
+    want = {}
+    for a, b in edges:
+        neg = key[(idx[a] * 2654435761 + idx[b]) % 6 + 1]
+        if neg in (a, b) or tuple(sorted((a, neg))) in true_set:
+            continue
+        want[(a, b)] = neg
+    assert got == want
+    for (a, b), neg in got.items():
+        assert neg not in (a, b)
+        assert tuple(sorted((a, neg))) not in true_set
+    # determinism under repartitioning
+    again = {(r["a"], r["b"]): r["b_neg"]
+             for r in negative_edge_samples(e.repartition(7), ids, 6).collect()}
+    assert again == got
