@@ -1058,6 +1058,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = emb.where(F.col("vec_id") >= 5)
         return S.ivf_topk(corpus, queries_df, k=3)
 
+    def ann_rp_top3(spark, sf):
+        """Johnson-Lindenstrauss random-projection top-3: project 64-dim
+        embeddings to 16 dims through the deterministic LCG plane family
+        (one Arrow matmul per batch), then cosine-rank in the projected
+        space — the float-compression ANN member next to LSH bits, IVF
+        cells, and SQ8 int8 (operators/similarity.py rp_project /
+        rp_topk)."""
+        emb = _t(spark, sf, "embeddings")
+        return S.rp_topk(
+            emb.where(F.col("vec_id") >= 5), emb.where(F.col("vec_id") < 5), k=3
+        )
+
     def ann_sq8_top3(spark, sf):
         """Scalar-quantized (SQ8/uint8) brute-force top-3: per-dim
         corpus min/max grid, integer dot scoring — the memory-bound ANN
@@ -2180,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": ann_ivf_top3,
         "ann_kmeans_refine": ann_kmeans_refine,
         "ann_sq8_top3": ann_sq8_top3,
+        "ann_rp_top3": ann_rp_top3,
         "dedup_embedding_neardup": dedup_embedding_neardup,
         "text_lang_id": text_lang_id,
         "text_lang_confusion": text_lang_confusion,
@@ -3299,6 +3312,32 @@ FROM kinds WHERE kind = 'image'
         "ann_lsh_multiprobe_top3": _ann_lsh_sql(n_probes=3),
         "ann_ivf_top3": _ann_ivf_sql(),
         "ann_kmeans_refine": _kmeans_sql(),
+        # JL projection: LCG plane family at offset RP_BASE=2000,
+        # list(d ORDER BY j) rebuilds the projected vector, cosine
+        # rounded 4dp (BLAS-vs-sequential dot parity per the ANN
+        # precedent).
+        "ann_rp_top3": (
+            "WITH RECURSIVE "
+            + _lcg_vectors_cte(16, 64, 2000, "j", "planes")
+            + ", corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings WHERE len(embedding) = 64 AND vec_id >= 5), "
+            "qs AS (SELECT vec_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings WHERE len(embedding) = 64 AND vec_id < 5), "
+            "cr AS (SELECT vec_id, list(d ORDER BY j) AS rv FROM ("
+            "SELECT e.vec_id, pl.j, list_dot_product(e.cv, pl.v) AS d "
+            "FROM corpus e CROSS JOIN planes pl) GROUP BY vec_id), "
+            "qr AS (SELECT vec_id, list(d ORDER BY j) AS rv FROM ("
+            "SELECT e.vec_id, pl.j, list_dot_product(e.cv, pl.v) AS d "
+            "FROM qs e CROSS JOIN planes pl) GROUP BY vec_id), "
+            "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            + _DUCK_COS.format(a="q.rv", b="c.rv")
+            + " AS cosine_rp FROM qr q CROSS JOIN cr c "
+            "WHERE q.vec_id <> c.vec_id) "
+            "SELECT query_id, neighbor_id, cosine_rp, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine_rp DESC, neighbor_id ASC) AS rank FROM scored) "
+            "WHERE rank <= 3"
+        ),
         # SQ8: corpus-grid codes, integer dot (<= 64 * 255^2, exact in
         # any engine); degenerate dims span-default 1.0 on both sides.
         "ann_sq8_top3": (

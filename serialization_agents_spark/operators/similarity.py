@@ -740,3 +740,89 @@ def sq8_topk(
             F.col("rank").cast("long").alias("rank"),  # BIGINT parity
         )
     )
+
+
+RP_BASE = 2000  # LCG offset for the JL projection family (decoupled
+# from LSH planes at 0 and IVF centroids at 1000)
+
+
+def rp_project(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to `out_dim` dims: one
+    numpy matmul per Arrow batch against a deterministic LCG plane
+    matrix (the same family as the LSH/IVF vectors, offset RP_BASE, so
+    a SQL oracle replays the projection exactly). 4x dimensionality
+    reduction with distance preservation ~ O(sqrt(log n / out_dim))
+    distortion — the float-compression member of the ANN family next to
+    LSH (bits), IVF (cells), and SQ8 (int8). NULL/ragged vectors
+    project to NULL (dropped by downstream joins).
+
+    Returns (id, rv array<double>).
+    """
+    import numpy as np
+
+    P = np.asarray(
+        [_hyperplane(dim, seed, RP_BASE + j) for j in range(out_dim)],
+        dtype=np.float64,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask, V = _stack_valid(pdf["cv"], dim)
+            R = V @ P.T
+            it = iter(R)
+            rows = [list(next(it)) if ok else None for ok in mask]
+            yield pd.DataFrame({"vid": pdf["vid"].values, "rv": rows})
+
+    return embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).mapInPandas(kernel, "vid long, rv array<double>")
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine in the PROJECTED space (query_id, neighbor_id,
+    cosine_rp, rank) — brute force over 4x-smaller vectors; at scale the
+    projection feeds the same LSH/IVF blocking as the full vectors,
+    with memory and bandwidth cut by dim/out_dim."""
+    c = rp_project(embeddings, out_dim, dim, seed, id_col, vec_col)
+    q = rp_project(queries, out_dim, dim, seed, id_col, vec_col)
+    scored = (
+        F.broadcast(
+            q.select(F.col("vid").alias("query_id"), F.col("rv").alias("qv"))
+        )
+        .crossJoin(c.select(F.col("vid").alias("neighbor_id"), F.col("rv").alias("cv")))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine_rp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_rp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_rp",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -377,3 +377,36 @@ def test_sq8_degenerate_dim_and_ragged(spark):
     assert mins == [-0.5, 7.0] and maxs == [0.5, 7.0]
     got = {r["vid"]: r["code"] for r in codes.collect()}
     assert got[10] == [255, 0] and got[11] == [0, 0]
+
+
+def test_rp_projection_preserves_neighborhoods(spark):
+    """JL sanity on planted twins: in the 16-dim projected space, most
+    planted near-duplicates must still be their query's top-1."""
+    emb, n_q, dim = _twin_corpus(spark)
+    out = S.rp_topk(
+        emb.where("vec_id >= 100"), emb.where("vec_id < 100"),
+        k=3, out_dim=8, dim=dim,
+    ).collect()
+    hits = {
+        r["query_id"] for r in out
+        if r["rank"] == 1 and r["neighbor_id"] == r["query_id"] + 100
+    }
+    assert len(hits) / n_q >= 0.9
+    # projection is deterministic: same planes, same result
+    again = S.rp_topk(
+        emb.where("vec_id >= 100").repartition(9),
+        emb.where("vec_id < 100"), k=3, out_dim=8, dim=dim,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_rp_project_nulls_and_shape(spark):
+    rows = [(0, [1.0] * 4), (1, None), (2, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vid"]: r["rv"] for r in S.rp_project(emb, out_dim=2, dim=4).collect()}
+    assert got[1] is None and got[2] is None
+    assert len(got[0]) == 2
+    import numpy as np
+
+    P = np.asarray([S._hyperplane(4, 42, S.RP_BASE + j) for j in range(2)])
+    assert np.allclose(got[0], P @ np.ones(4))
