@@ -1466,6 +1466,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("cents").alias("value_cents"),
         )
 
+    def o9s_stream_interval_join(spark, sf):
+        """REAL stream-stream join under the hash gate (the sixth
+        Structured Streaming surface): events and derived validity
+        windows staged to parquet, consumed by two watermarked
+        readStreams, inner-joined on user_id + event-time range in an
+        availableNow query (streaming/joins.py), then aggregated to
+        (o_orderkey, n_events) — the DuckDB oracle is the same non-equi
+        join as o9 counted per order. All staged rows are on-time, so
+        the streaming emission equals the batch join; late-drop
+        semantics are pinned by tests/test_streaming_joins.py."""
+        import tempfile
+
+        from serialization_agents_spark.streaming.joins import (
+            stream_interval_join_to_parquet,
+        )
+
+        base = tempfile.mkdtemp(prefix="o9s_")
+        ev_dir, win_dir = f"{base}/events", f"{base}/windows"
+        out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+        _t(spark, sf, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type", "value",
+        ).coalesce(4).write.mode("overwrite").parquet(ev_dir)
+        ok = F.col("o_orderkey")
+        start_s = F.lit(1704067200) + (ok % 720) * 3600
+        _t(spark, sf, "orders").select(
+            ok.alias("win_id"),
+            (F.col("o_custkey") % 150).cast("long").alias("user_id"),
+            F.timestamp_seconds(start_s).alias("win_start"),
+            F.timestamp_seconds(start_s + (ok % 6 + 1) * 1800).alias("win_end"),
+        ).coalesce(4).write.mode("overwrite").parquet(win_dir)
+        q = stream_interval_join_to_parquet(spark, ev_dir, win_dir, out_dir, ckpt)
+        finished = q.awaitTermination(600)
+        if not finished or q.exception() is not None:
+            q.stop()
+            raise RuntimeError(
+                f"o9s stream-stream join did not finish cleanly: "
+                f"timed_out={not finished} exception={q.exception()}"
+            )
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("win_id").alias("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
     def kg_pagerank(spark, sf):
         """Fixed-point integer PageRank (3 iterations) over a
         deterministic doc_id-derived functional graph on 101 nodes —
@@ -2220,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o8_percentiles": o8_percentiles,
         "o9_interval_join": o9_interval_join,
         "o10_session_window": o10_session_window,
+        "o9s_stream_interval_join": o9s_stream_interval_join,
         "kg_pagerank": kg_pagerank,
         "kg_label_prop": kg_label_prop,
         "kg_bfs_hops": kg_bfs_hops,
@@ -2833,6 +2880,20 @@ def oracle_sql() -> dict[str, str]:
             "max(tsu) + 1800000000 AS session_end_us, "
             "count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents "
             "FROM s GROUP BY user_id, sid"
+        ),
+        # Streaming twin of o9: identical non-equi join, counts only
+        # (the streaming select carries no value column).
+        "o9s_stream_interval_join": (
+            "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events), "
+            "iv AS (SELECT o_orderkey, o_custkey % 150 AS user_id, "
+            "(1704067200 + (o_orderkey % 720) * 3600) * 1000000 AS start_us, "
+            "(1704067200 + (o_orderkey % 720) * 3600 "
+            "+ (o_orderkey % 6 + 1) * 1800) * 1000000 AS end_us FROM orders) "
+            "SELECT o_orderkey, count(*)::BIGINT AS n_events "
+            "FROM ev JOIN iv ON ev.user_id = iv.user_id "
+            "AND ts_us >= start_us AND ts_us < end_us "
+            "GROUP BY o_orderkey"
         ),
         "o9_interval_join": (
             "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
