@@ -1266,6 +1266,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, rates={"en": 0.5, "de": 1.0, "zh": 0.25}, default_rate=0.1
         )
 
+    def corpus_epoch_order(spark, sf):
+        """Deterministic per-epoch training order: rank docs by
+        md5(epoch || ':' || doc_id) through the TWO-PHASE partition-
+        offset enumerate (operators/enumerate_ids.py — range-partition
+        on the key, per-partition row_number, broadcast offsets; never
+        a single global window), so every run, resume, and executor
+        count replays the exact same shuffle order per epoch — the
+        reproducible-dataloader contract of an LLM training pipeline."""
+        from serialization_agents_spark.operators.enumerate_ids import enumerate_ids
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        epochs = []
+        for ep in (0, 1):
+            keyed = docs.select(
+                "doc_id", F.lit(ep).alias("epoch"),
+                F.md5(F.concat_ws(":", F.lit(str(ep)), F.col("doc_id"))).alias("_k"),
+            )
+            epochs.append(
+                enumerate_ids(keyed, order_col="_k", id_col="ord", offset=1)
+                .select("doc_id", "epoch", F.col("ord").cast("long").alias("ord"))
+            )
+        return epochs[0].unionByName(epochs[1])
+
     def corpus_mixture(spark, sf):
         """Temperature mixture rebalancing: derive per-LANGUAGE keep
         rates from the observed counts (share ∝ count^0.5, downsample-
@@ -2254,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_bucket": text_perplexity_bucket,
         "corpus_sample": corpus_sample,
         "corpus_mixture": corpus_mixture,
+        "corpus_epoch_order": corpus_epoch_order,
         "text_bm25_topk": text_bm25_topk,
         "text_quality_gate": text_quality_gate,
         "corpus_shard_pack": corpus_shard_pack,
@@ -2739,6 +2763,16 @@ def oracle_sql() -> dict[str, str]:
         # are not), then the rate is two IEEE divisions and a multiply on
         # identical operands — bit-identical across engines. sqrt (not
         # pow) because sqrt is IEEE correctly-rounded everywhere.
+        # Epoch shuffle order: rank over md5(epoch:doc) per epoch, 1-based
+        # to match enumerate's offset=0 (+ row_number) arithmetic.
+        "corpus_epoch_order": (
+            "SELECT doc_id, epoch, ord FROM ("
+            "SELECT doc_id, e.epoch, row_number() OVER ("
+            "PARTITION BY e.epoch "
+            "ORDER BY md5(e.epoch || ':' || doc_id)) AS ord "
+            "FROM documents CROSS JOIN "
+            "(SELECT unnest(range(2)) AS epoch) e)"
+        ),
         "corpus_mixture": (
             "WITH d AS (SELECT lang, count(*)::BIGINT AS cnt "
             "FROM documents GROUP BY lang), "
