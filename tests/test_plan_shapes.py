@@ -259,3 +259,40 @@ def test_kmeans_assignment_is_arrow_kernel(spark):
     plan = _plan(df)
     assert "Scan parquet" not in plan  # driver-assembled centroid table
     assert df.count() == 4 * 64
+
+
+def test_interval_join_query_no_nested_loop(spark):
+    """o9: the bucketized range join must never plan a nested-loop or
+    cartesian — the chunk equi-key is the whole point."""
+    plan = _plan(entry.queries()["o9_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_window_uses_session_node(spark):
+    """o10: the plan must carry Spark's native session-window
+    aggregation (merging-window state), not a hand-rolled lag/cumsum."""
+    plan = _plan(entry.queries()["o10_session_window"](spark, SF))
+    assert "session_window" in plan.lower()
+
+
+def test_epoch_order_is_range_partitioned_not_global(spark):
+    """corpus_epoch_order: the rank comes from range partitioning +
+    per-partition windows — a SinglePartition exchange feeding the
+    Window would be the global-sort antipattern."""
+    plan = _plan(entry.queries()["corpus_epoch_order"](spark, SF))
+    # the range repartition lives BEFORE the enumerate's checkpoint, so
+    # the visible plan reads the pinned RDD; the invariant that matters
+    # is NO SinglePartition exchange feeding the rank window
+    assert "ExistingRDD" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sq8_and_rp_are_broadcast_bounded(spark):
+    """ann_sq8/ann_rp: the brute-force side is an explicit broadcast of
+    the bounded query set (like ann_cosine_top3) — acceptable cross
+    join by construction, but it must be the BROADCAST variant, never a
+    shuffled CartesianProduct."""
+    for q in ("ann_sq8_top3", "ann_rp_top3"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        assert "CartesianProduct" not in plan, q
