@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from serialization_agents_spark.parallel import spread
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -62,7 +64,10 @@ def _kg_customer_count(spark: SparkSession, sf_dir: str) -> int:
 # block (P4): name-typed subject at d%7==0, topic-typed at d%7==3.
 # ---------------------------------------------------------------------------
 def _kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the whole narrow fact path (page markup -> extract -> mention
+    # regexes -> broadcast linking) chains off this scan; a single-row-
+    # group test file would otherwise pin it all to ONE task
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id"))
     cust = _t(spark, sf_dir, "customer")
     n = _kg_customer_count(spark, sf_dir)
     d = F.col("doc_id")
@@ -944,7 +949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             match_by_check_names,
         )
 
-        cust = _t(spark, sf, "customer")
+        # both tms-agents and authority derive from this scan; fan it out
+        # so the variant/checkNames work is not single-task on a one-row-
+        # group file (the exchange is reused across the two subtrees)
+        cust = spread(_t(spark, sf, "customer").select("c_custkey", "c_name"))
         k = F.col("c_custkey")
         na = F.when(
             k % 13 == 7, F.concat(F.col("c_name"), F.lit(" & Sons"))

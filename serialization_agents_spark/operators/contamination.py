@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from serialization_agents_spark.operators.dedup import SHINGLE_K, shingles
+from serialization_agents_spark.parallel import spread
 
 
 def benchmark_ngrams(
@@ -60,8 +61,12 @@ def contamination_report(
     broadcast benchmark set; the only shuffle is the final doc_id agg.
     """
     grams = benchmark_ngrams(benchmark, text_col=text_col, k=k, hash_grams=hash_grams)
-    doc_grams = corpus.select(
-        F.col(id_col).alias("doc_id"),
+    # the gram explode + hash probe is the narrow hot loop — fan an
+    # under-parallel corpus scan out before paying it
+    doc_grams = spread(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.explode(shingles(F.col(text_col), k)).alias("gram"),
     )
     if hash_grams:

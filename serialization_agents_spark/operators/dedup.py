@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from serialization_agents_spark.parallel import spread
+
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands x 4 rows: s-curve threshold ~ (1/4)^(1/4) ~ 0.7
 SHINGLE_K = 3
@@ -74,6 +76,11 @@ def minhash_signatures(
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    # n_hashes hash passes per shingle are the dominant narrow cost —
+    # fan an under-parallel scan out BEFORE paying them (and project to
+    # the two columns the signature needs so the fan-out shuffles only
+    # those bytes).
+    df = spread(df.select(F.col(id_col), F.col(text_col)))
     sh = shingles(F.col(text_col)).alias("sh")
 
     def _mh(seed: int):
@@ -213,7 +220,7 @@ def simhash(
     32 bits (not 64) so the per-bit integer stays exact in cross-engine
     comparisons; near-dup lookup groups on the sketch or prefix bands.
     """
-    toks = df.select(
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
     )
     # token hash: first 8 hex chars of md5 -> 32-bit int
@@ -264,6 +271,7 @@ def chunk_dedup(
     """
     from pyspark.sql.window import Window
 
+    df = spread(df.select(F.col(id_col), F.col(text_col)))
     if paragraph_delim is not None:
         chunks = F.filter(
             F.transform(
@@ -393,6 +401,7 @@ def repeated_span_stats(
     splits them), one per-doc agg. dup_fraction divides two identical
     integers in both engines — no float drift.
     """
+    docs = spread(docs.select(F.col(id_col), F.col(text_col)))
     toks = _tokens(F.col(text_col))
     n_wins = F.floor((F.size(toks) - k) / stride) + 1
     wins = F.when(
@@ -456,6 +465,7 @@ def winnow_fingerprints(
     """
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    docs = spread(docs.select(F.col(id_col), F.col(text_col)))
     toks = _tokens(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),

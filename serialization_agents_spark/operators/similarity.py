@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from serialization_agents_spark.parallel import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -64,10 +66,10 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    c = embeddings.select(
+    c = spread(embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ))
     scored = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -279,10 +281,10 @@ def lsh_bucket_topk(
             F.transform(d, lambda x: F.when(x >= 0, "1").otherwise("0")), ""
         )
 
-    c = embeddings.select(
+    c = spread(embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ))
     if corpus_arrow:
         c = c.mapInPandas(
             _bucket_kernel(planes, "neighbor_id", "cv"),
@@ -424,10 +426,10 @@ def ivf_topk(
             for ci, cv in enumerate(cents)
         ]
 
-    c = embeddings.select(
+    c = spread(embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ))
     if corpus_arrow:
         c = c.mapInPandas(
             _cell_kernel(cents, "neighbor_id", "cv"),
@@ -476,11 +478,12 @@ def kmeans_refine(
     centroid table is tiny by construction)."""
     cents = [list(c) for c in centroids]
     dim = len(cents[0])
+    emb = spread(embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ))
     for _ in range(n_iters):
-        assigned = embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        ).mapInPandas(
+        assigned = emb.mapInPandas(
             _cell_kernel(cents, "neighbor_id", "cv"),
             "neighbor_id long, cv array<double>, cell int",
         )
@@ -525,12 +528,13 @@ def kmeans_lloyd(
     spark = embeddings.sparkSession
     cents = ivf_centroids(n_centroids, dim, seed)
     counts: dict[int, int] = {}
+    emb = spread(embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ))
     for _ in range(n_iters):
         assigned = (
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
-            )
+            emb
             .mapInPandas(
                 _cell_kernel(cents, "neighbor_id", "cv"),
                 "neighbor_id long, cv array<double>, cell int",
@@ -588,10 +592,10 @@ def embedding_neardup_pairs(
     Returns (pairs, dropped_buckets(bucket, bucket_size)).
     """
     planes = [_hyperplane(dim, seed, p) for p in range(n_planes)]
-    v = embeddings.select(
+    v = spread(embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ))
     if corpus_arrow:
         sigs = v.mapInPandas(
             _bucket_kernel(planes, "vid", "cv"),
@@ -630,13 +634,91 @@ def embedding_neardup_pairs(
             .withColumn("bucket_size", F.lit(0).cast("long"))
         )
 
-    a = sigs.select("bucket", F.col("vid").alias("id_a"), F.col("cv").alias("va"))
-    b = sigs.select("bucket", F.col("vid").alias("id_b"), F.col("cv").alias("vb"))
-    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    pairs = _score_pairs(cand, "id_a", "id_b", "va", "vb", dim, pair_arrow).where(
-        F.col("cosine") >= threshold
-    )
+    if pair_arrow:
+        # one grouped shuffle keyed by bucket (each vector crosses ONCE),
+        # then a blocked in-kernel GEMM per bucket — never a pair join
+        # that re-ships both vectors per candidate. NULL buckets (invalid
+        # vectors) are dropped exactly as the old equi-join dropped them.
+        scored = (
+            sigs.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .applyInPandas(
+                _bucket_gram_kernel(dim, threshold),
+                "id_a long, id_b long, cosine_raw double",
+            )
+        )
+        pairs = scored.select(
+            "id_a", "id_b", F.round("cosine_raw", 4).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
+    else:
+        a = sigs.select("bucket", F.col("vid").alias("id_a"), F.col("cv").alias("va"))
+        b = sigs.select("bucket", F.col("vid").alias("id_b"), F.col("cv").alias("vb"))
+        cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+        pairs = _score_pairs(cand, "id_a", "id_b", "va", "vb", dim, False).where(
+            F.col("cosine") >= threshold
+        )
     return pairs, dropped
+
+
+def _bucket_gram_kernel(dim: int, threshold: float):
+    """Per-BUCKET pair scorer for the near-dup self-join: one blocked
+    numpy GEMM over the bucket's vector matrix instead of materializing
+    every candidate pair row (which ships BOTH 64-dim vectors per pair
+    through the shuffle and the Arrow boundary — ~n^2/2 x 1 KB per
+    bucket, the dominant cost of the old plan). Each vector now crosses
+    the shuffle exactly once; the O(n^2) score matrix exists only as
+    transient numpy blocks inside the kernel, and only pairs at or
+    above a conservative raw cutoff are emitted (the authoritative
+    HALF_UP 4dp round + threshold filter stays Spark-side, exactly as
+    before, so engine-owned rounding is unchanged).
+
+    The raw cutoff undershoots the threshold by slightly more than half
+    an ulp of the 4dp grid (5e-5 + fuzz): every pair the Spark filter
+    could keep is emitted; extras are dropped by the same filter.
+
+    Memory is bounded: groups are capped at `max_bucket` rows upstream,
+    and the score matrix is computed in 1024-row blocks (~32 MB each).
+    """
+    import numpy as np
+
+    cut = threshold - 5e-5 - 1e-9
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mask, V = _stack_valid(pdf["cv"], dim)
+        ids = pdf["vid"].values[mask]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_raw": "float64"}
+            )
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = V[order]
+        norms = np.linalg.norm(V, axis=1)
+        out_a, out_b, out_c = [], [], []
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = V[s:e] @ V.T  # raw dots, one BLAS call per block
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = S / (norms[s:e, None] * norms[None, :])
+            # upper triangle only (id_a < id_b via the sort), >= cutoff
+            rows, cols = np.nonzero(
+                np.isfinite(S) & (S >= cut)
+                & (np.arange(n)[None, :] > (s + np.arange(e - s))[:, None])
+            )
+            out_a.append(ids[rows + s])
+            out_b.append(ids[cols])
+            out_c.append(S[rows, cols])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype("int64"),
+                "id_b": np.concatenate(out_b).astype("int64"),
+                "cosine_raw": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
 
 
 def sq8_codes(
@@ -659,10 +741,12 @@ def sq8_codes(
 
     Returns (codes_df(id, code array<int>), mins, maxs).
     """
-    v = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).where(F.size(vec_col) == dim)
+    v = spread(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).where(F.size(vec_col) == dim)
+    )
     ext = (
         v.select(F.posexplode("cv").alias("pos", "x"))
         .groupBy("pos")
@@ -782,10 +866,10 @@ def rp_project(
             rows = [list(next(it)) if ok else None for ok in mask]
             yield pd.DataFrame({"vid": pdf["vid"].values, "rv": rows})
 
-    return embeddings.select(
+    return spread(embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).mapInPandas(kernel, "vid long, rv array<double>")
+    )).mapInPandas(kernel, "vid long, rv array<double>")
 
 
 def rp_topk(

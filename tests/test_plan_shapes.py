@@ -69,12 +69,21 @@ def test_brute_force_cosine_is_broadcast_bounded(spark):
 
 def test_pair_rerank_uses_arrow_kernel(spark):
     """Round-4: the in-bucket/in-cell exact-cosine re-rank runs in an
-    Arrow kernel too — each ANN plan carries TWO MapInPandas stages
-    (corpus bucketing + pair scoring); a regression to the interpreted
-    per-pair `F.aggregate` fold would drop the second."""
-    for q in ("ann_lsh_top3", "ann_ivf_top3", "dedup_embedding_neardup"):
+    Arrow kernel too — each ANN plan carries TWO Arrow stages (corpus
+    bucketing + pair scoring); a regression to the interpreted per-pair
+    `F.aggregate` fold would drop the second. Round-6: the near-dup
+    pair stage became a per-bucket grouped GEMM (FlatMapGroupsInPandas)
+    so each vector crosses the shuffle once instead of once per
+    candidate pair — still an Arrow kernel, different node."""
+    for q in ("ann_lsh_top3", "ann_ivf_top3"):
         plan = _plan(entry.queries()[q](spark, SF))
         assert plan.count("MapInPandas") >= 2, f"{q}: pair re-rank not Arrow"
+    plan = _plan(entry.queries()["dedup_embedding_neardup"](spark, SF))
+    assert "MapInPandas" in plan  # corpus bucket signatures
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket GEMM pair scorer
+    # only the broadcast anti-join of dropped buckets may remain — the
+    # vector-shipping pair self-join is gone by design
+    assert "SortMergeJoin" not in plan
 
 
 def test_kg_cache_clear_releases_and_rederives(spark):
