@@ -45,7 +45,24 @@ _KG_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 def _kg_customer_count(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KG_N:
-        _KG_N[key] = _t(spark, sf_dir, "customer").count()
+        # plan-build-time scalar: prefer the parquet footer row count
+        # (no Spark job at all) and fall back to a count() for any
+        # source pyarrow cannot reach (non-local paths)
+        try:
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            path = f"{sf_dir}/customer.parquet"
+            files = [path] if _os.path.isfile(path) else _glob.glob(
+                f"{path}/*.parquet"
+            )
+            if not files:
+                raise FileNotFoundError(path)
+            _KG_N[key] = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            _KG_N[key] = _t(spark, sf_dir, "customer").count()
     return _KG_N[key]
 
 
@@ -216,7 +233,10 @@ def _kg_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from serialization_agents_spark.functions.normalize import normalize_name_expr
 
-    cust = _t(spark, sf_dir, "customer")
+    # the authority feeds THREE broadcast builds (viaf keys, lc keys,
+    # name-block argmax), each paying the normalize regex per row — fan
+    # the one-row-group scan out so those builds are not single-task
+    cust = spread(_t(spark, sf_dir, "customer").select("c_custkey", "c_name"))
     k = F.col("c_custkey")
     norm = normalize_name_expr(F.col("c_name"))
     collide = (k % 17 == 5) & (k >= 1)

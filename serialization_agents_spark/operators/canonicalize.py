@@ -69,6 +69,18 @@ def connected_components(
     collisions would spuriously merge ~1e4 components, so the STRING key
     stays the identifier end-to-end).
     """
+    labels, iters, _ = _connected_components_ex(edges, max_iterations)
+    return labels, iters
+
+
+def _connected_components_ex(
+    edges: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int, int]:
+    """connected_components plus the active-edge count the caller can
+    use to skip merge machinery entirely: an entity is ACTIVE iff it
+    shares a merge key with another entity, which holds iff its
+    component has >= 2 members — so `n_active == 0` proves every
+    component is a singleton."""
     all_nodes = edges.select("entity_key").dropDuplicates()
 
     # Only keys shared by >= 2 entities can merge anything; everything else
@@ -92,6 +104,7 @@ def connected_components(
         return (
             all_nodes.select("entity_key", F.col("entity_key").alias("component")),
             iters,
+            0,
         )
 
     # The loop operates on ENTITY-scale data (orders of magnitude smaller
@@ -121,7 +134,7 @@ def connected_components(
     singleton_labels = all_nodes.join(
         active_labels.select("entity_key"), "entity_key", "left_anti"
     ).select("entity_key", F.col("entity_key").alias("component"))
-    return active_labels.unionByName(singleton_labels), iters
+    return active_labels.unionByName(singleton_labels), iters, n_active
 
 
 def _cc_loop(
@@ -184,41 +197,11 @@ def _cc_loop(
     return labels, iters
 
 
-def _argmin_field(prio: F.Column, value: F.Column, name: str) -> F.Column:
-    """min(struct(prio, value)) ignoring rows where value IS NULL — the
-    'existing row wins, new row backfills' scalar rule of
-    /root/reference/lib/utils.js:307-313, made order-free."""
-    return F.min(F.when(value.isNotNull(), F.struct(prio.alias("p"), value.alias("v"))))[
-        "v"
-    ].alias(name)
-
-
-def canonicalize_agents(
-    agents: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
-) -> tuple[DataFrame, int]:
-    """Merge agent rows whose components collide; returns (canonical
-    agents, cc_iterations). Input is `merge_entities` output."""
-    # The CC machinery below issues several driver actions (edge counts,
-    # convergence counts, the output checkpoint); `agents` sits on the
-    # far side of the fact-table merge shuffle, so materialize it ONCE —
-    # entity-scale — instead of re-running the merge per action.
-    agents = agents.localCheckpoint(eager=True)
-    edges = build_merge_edges(agents)
-    labels, iters = connected_components(edges, max_iterations)
-    # labels is entity-scale and fans out into sizes/joins/two branches —
-    # pin it once so the CC result is not re-derived per reference.
-    labels = labels.localCheckpoint()
-
-    # Singleton components (the overwhelming majority on real corpora) take
-    # a pure-projection fast path: the group-merge below runs interpreted
-    # (collect_set forces ObjectHashAggregate, which evaluates every
-    # aggregate expression per row without codegen), so keeping singletons
-    # out of it is a large constant-factor win at any scale.
-    comp_sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
-    lab2 = labels.join(comp_sizes, "component")
-    joined = agents.join(lab2, "entity_key").persist()
-
-    singles = joined.where(F.col("_csize") == 1).select(
+def _singleton_projection(df: DataFrame) -> DataFrame:
+    """The identity 'merge' of a one-member component: same output
+    schema/exprs as the group-merge, no aggregation. `df` must carry the
+    agents columns plus `component`."""
+    return df.select(
         F.lit(None).cast("long").alias("registry_id"),
         "entity_key",
         F.array_sort("viaf").alias("viaf"),
@@ -242,10 +225,72 @@ def canonicalize_agents(
         "component",
     )
 
+
+def _argmin_field(prio: F.Column, value: F.Column, name: str) -> F.Column:
+    """min(struct(prio, value)) ignoring rows where value IS NULL — the
+    'existing row wins, new row backfills' scalar rule of
+    /root/reference/lib/utils.js:307-313, made order-free."""
+    return F.min(F.when(value.isNotNull(), F.struct(prio.alias("p"), value.alias("v"))))[
+        "v"
+    ].alias(name)
+
+
+def canonicalize_agents(
+    agents: DataFrame, max_iterations: int = MAX_CC_ITERATIONS
+) -> tuple[DataFrame, int]:
+    """Merge agent rows whose components collide; returns (canonical
+    agents, cc_iterations). Input is `merge_entities` output."""
+    # The CC machinery below issues several driver actions (edge counts,
+    # convergence counts, the output checkpoint); `agents` sits on the
+    # far side of the fact-table merge shuffle, so materialize it ONCE —
+    # entity-scale — instead of re-running the merge per action.
+    agents = agents.localCheckpoint(eager=True)
+    edges = build_merge_edges(agents)
+    labels, iters, n_active = _connected_components_ex(edges, max_iterations)
+
+    if n_active == 0:
+        # Nothing shares a merge key with anything: EVERY component is a
+        # singleton (active <=> component size >= 2), so the group-merge
+        # below is the identity projection. Skip the label checkpoint,
+        # the size join, and the interpreted ObjectHashAggregate outright
+        # — on low-collision corpora this removes the bulk of the
+        # canonicalize stage's driver actions and shuffles.
+        out = _singleton_projection(
+            agents.withColumn("component", F.col("entity_key"))
+        ).localCheckpoint(eager=True)
+        return out, iters
+
+    # labels is entity-scale and fans out into sizes/joins/two branches —
+    # pin it once so the CC result is not re-derived per reference.
+    labels = labels.localCheckpoint()
+
+    # Singleton components (the overwhelming majority on real corpora) take
+    # a pure-projection fast path: the group-merge below runs interpreted
+    # (collect_set forces ObjectHashAggregate, which evaluates every
+    # aggregate expression per row without codegen), so keeping singletons
+    # out of it is a large constant-factor win at any scale.
+    comp_sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
+    # The label map is bounded by the entity count; below the CC loop's
+    # broadcast gate ship it broadcast so the agents join never plans a
+    # stats-blind sort-merge against the checkpointed frames.
+    n_labels = labels.count()
+    _maybe_b = F.broadcast if n_labels <= BROADCAST_LABELS_MAX else (lambda df: df)
+    lab2 = labels.join(_maybe_b(comp_sizes), "component")
+    joined = agents.join(_maybe_b(lab2), "entity_key").persist()
+
+    singles = _singleton_projection(joined.where(F.col("_csize") == 1))
+
     # The heavy merge below is entity-scale; pre-partition it on the group
     # key with a width sized to the (small) multi-member row count so the
     # groupBy reuses the partitioning instead of a full-width exchange.
-    n_multi = joined.where(F.col("_csize") > 1).count()
+    # (Derived from comp_sizes — labels-scale — so sizing it does not
+    # force the agents join to materialize early.)
+    n_multi = (
+        comp_sizes.where(F.col("_csize") > 1)
+        .agg(F.sum("_csize").alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
     agg_parts = max(8, n_multi // 100_000 + 1)
     a = (
         joined.where(F.col("_csize") > 1)

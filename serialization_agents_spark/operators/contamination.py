@@ -62,12 +62,21 @@ def contamination_report(
     """
     grams = benchmark_ngrams(benchmark, text_col=text_col, k=k, hash_grams=hash_grams)
     # the gram explode + hash probe is the narrow hot loop — fan an
-    # under-parallel corpus scan out before paying it
-    doc_grams = spread(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select(
+    # under-parallel corpus scan out before paying it, and materialize
+    # the token array so the gram lambda does not re-split per position
+    from serialization_agents_spark.operators.dedup import (
+        _tokens,
+        shingles_from_tokens,
+    )
+
+    toked = (
+        spread(corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", _tokens(F.col(text_col)).alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    doc_grams = toked.select(
         "doc_id",
-        F.explode(shingles(F.col(text_col), k)).alias("gram"),
+        F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("gram"),
     )
     if hash_grams:
         doc_grams = doc_grams.select("doc_id", F.xxhash64("gram").alias("gram"))

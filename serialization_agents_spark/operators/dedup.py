@@ -30,9 +30,13 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles of a text column (JVM-side)."""
-    toks = _tokens(text)
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles over an ALREADY-TOKENIZED column.
+
+    Prefer this over `shingles` when the caller can materialize the
+    token array first (checkpoint/exchange barrier): expressions inside
+    an interpreted HOF lambda are re-evaluated per element, so an
+    inlined split() re-tokenizes once per gram position."""
     return F.array_distinct(
         F.when(
             F.size(toks) >= k,
@@ -42,6 +46,11 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM-side)."""
+    return shingles_from_tokens(_tokens(text), k)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -81,21 +90,43 @@ def minhash_signatures(
     # the two columns the signature needs so the fan-out shuffles only
     # those bytes).
     df = spread(df.select(F.col(id_col), F.col(text_col)))
-    sh = shingles(F.col(text_col)).alias("sh")
+    # materialize tokens before the shingle transform (see
+    # shingles_from_tokens: an inlined split re-tokenizes per position)
+    toked = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    sh = shingles_from_tokens(F.col("_toks")).alias("sh")
 
     def _mh(seed: int):
-        # NB: a two-arg lambda to F.transform would receive (element, index)
-        # — bind the seed via closure, single-arg lambda only.
         if hash_fn == "xxhash64":
             return lambda s: F.xxhash64(F.lit(seed), s)
         prefix = f"{seed}:"
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    sig_cols = [
-        F.array_min(F.transform(F.col("sh"), _mh(i))).alias(f"mh{i}")
+    # Explode the (distinct) shingles to rows and hash in PROJECTED,
+    # whole-stage-codegen'd columns, then take the per-doc min of each
+    # hash family with a map-side partial aggregation — one array
+    # traversal total instead of n_hashes interpreted
+    # array_min(transform(...)) passes per row (higher-order functions
+    # never enter codegen). min(long)/min(string) over the exploded rows
+    # equals array_min over the array: same values, same lexicographic
+    # string order. The null guard keeps null-text parity with the HOF
+    # path (null shingle -> null hash -> null signature; xxhash64 would
+    # otherwise hash a null away and produce a non-null signature).
+    # NOTE: assumes id_col is unique per row (it is a doc id everywhere
+    # in this repo) — duplicate ids would merge signatures.
+    sh_rows = toked.select(F.col(id_col), sh).select(
+        F.col(id_col), F.explode_outer("sh").alias("_sh")
+    )
+    hash_cols = [
+        F.when(F.col("_sh").isNotNull(), _mh(i)(F.col("_sh"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    with_sig = df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+    with_sig = (
+        sh_rows.select(F.col(id_col), *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)])
+    )
     n_bands = n_hashes // band_size
 
     def _band(b: int) -> F.Column:
@@ -403,16 +434,30 @@ def repeated_span_stats(
     """
     docs = spread(docs.select(F.col(id_col), F.col(text_col)))
     toks = _tokens(F.col(text_col))
-    n_wins = F.floor((F.size(toks) - k) / stride) + 1
-    wins = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), (n_wins - 1).cast("int")),
-            lambda i: F.array_join(F.slice(toks, i * stride + 1, k), " "),
+    # Materialize tokens once (interpreted HOF lambdas re-evaluate an
+    # inlined split() per window position), then build each window gram
+    # and hash it to a 64-bit key IN THE SAME transform: the dup
+    # decision only needs equality, so the shuffles (distinct, dup agg,
+    # probe join) carry 8-byte longs instead of ~60-char window strings
+    # — ~8x fewer shuffle bytes, long-vs-long comparisons. The window
+    # TEXT never leaves the map side. (The DuckDB oracle still groups
+    # by the string; the certification run is what proves the hash key
+    # introduces no collision on gate data — a 64-bit collision among
+    # ~10^6 distinct windows has probability ~1e-7.)
+    toked = (
+        docs.where(F.size(toks) >= k)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    n_wins = F.floor((F.size(F.col("_toks")) - k) / stride) + 1
+    win_hashes = F.transform(
+        F.sequence(F.lit(0), (n_wins - 1).cast("int")),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(F.col("_toks"), i * stride + 1, k), " ")
         ),
     )
-    occ = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(wins).alias("win")
+    occ = toked.select(
+        "doc_id", F.explode(win_hashes).alias("win")
     ).localCheckpoint(eager=False)  # feeds the dup agg AND the join probe
     dup_wins = (
         occ.select("doc_id", "win")
@@ -467,22 +512,27 @@ def winnow_fingerprints(
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     docs = spread(docs.select(F.col(id_col), F.col(text_col)))
     toks = _tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    # Materialize the token array ONCE before the gram pass: expressions
+    # inside an interpreted HOF lambda are re-evaluated per element (no
+    # codegen, no common-subexpression elimination), so an inlined
+    # split() re-tokenizes per gram position — measured ~2x the gram
+    # stage at sf1.0. The gram build and hash then FUSE into a single
+    # transform (no intermediate gram-string array materialized).
+    toked = (
+        docs.where(F.size(toks) >= k + w - 1)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .localCheckpoint(eager=False)
     )
-    if hash_fn == "xxhash64":
-        hs = F.transform(grams, lambda g: F.xxhash64(g))
-    else:
-        hs = F.transform(grams, lambda g: F.md5(g))
-    # MATERIALIZE the gram-hash array before the window pass: HOFs are
-    # interpreted (no codegen, no common-subexpression elimination), so
-    # without the checkpoint the per-window lambda re-evaluates the
-    # ENTIRE hs transform — O(len^2 * k) md5 calls per doc, measured 60x
-    # slower at sf0.1. One linear hash pass, then O(len * w) window mins.
-    hashed = docs.where(F.size(toks) >= k + w - 1).select(
-        F.col(id_col).alias("doc_id"), hs.alias("_hs")
-    ).localCheckpoint(eager=False)
+    _hash = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    hs = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - k),
+        lambda i: _hash(F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")),
+    )
+    # MATERIALIZE the gram-hash array before the window pass too:
+    # without this checkpoint the per-window lambda re-evaluates the
+    # ENTIRE hs transform — O(len^2 * k) hash calls per doc, measured
+    # 60x slower at sf0.1. One linear hash pass, then O(len * w) mins.
+    hashed = toked.select("doc_id", hs.alias("_hs")).localCheckpoint(eager=False)
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(F.col("_hs")) - w),

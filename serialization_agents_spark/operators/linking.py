@@ -168,13 +168,18 @@ def link_mentions(
 
     cand_t = exploded.schema["auth_n"].dataType
     best_t = f"struct<a:{cand_t.simpleString()},s:double>"
+    # score each candidate ONCE via transform, then a tiny first-wins
+    # fold over the pre-scored structs — the interpreted walk used to
+    # appear twice per fold step (condition + value), doubling both the
+    # expression tree Catalyst must chew through and the per-candidate
+    # evaluations.
+    scored_cands = F.transform(
+        F.col("cands"), lambda c: F.struct(c.alias("a"), _score(c).alias("s"))
+    )
     argmax = F.aggregate(
-        F.col("cands"),
+        scored_cands,
         F.lit(None).cast(best_t),
-        lambda acc, c: F.when(
-            acc.isNull() | (_score(c) > acc["s"]),
-            F.struct(c.alias("a"), _score(c).alias("s")),
-        ).otherwise(acc),
+        lambda acc, sc: F.when(acc.isNull() | (sc["s"] > acc["s"]), sc).otherwise(acc),
     )
     name_best = (
         exploded.groupBy("name_norm")
@@ -191,8 +196,11 @@ def link_mentions(
             ).otherwise(argmax).alias("nb"),
         )
         # block-constant argmax is computed once here (entity scale), not
-        # per fact row: materialize so the broadcast ships VALUES
-        .localCheckpoint(eager=True)
+        # per fact row: materialize so the broadcast ships VALUES.
+        # eager=False: the checkpoint still pins the computed values on
+        # first use, but rides the first downstream action instead of
+        # costing its own driver round-trip at plan-build time.
+        .localCheckpoint(eager=False)
     )
     m = m.join(broadcast(name_best), "name_norm", "left")
     linked = (

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from serialization_agents_spark.parallel import spread
+
 from pyspark.sql.window import Window
 
 from serialization_agents_spark.functions.text import tokens
@@ -382,8 +384,8 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
     quartile boundary — the standard CCNet-scale trade.
     """
     tok = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens(F.col(text_col))).alias("term"))
+        spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
         .where(F.col("term") != "")
         # one token explode feeds BOTH the LM aggregate and the per-doc
         # scoring join (Catalyst won't reuse an agg subtree across

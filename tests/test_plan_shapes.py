@@ -98,15 +98,19 @@ def test_kg_cache_clear_releases_and_rederives(spark):
 
 
 def test_chunk_dedup_is_two_shuffles_no_joins(spark):
-    """dedup_chunks: pruned scan -> chunk-hash Exchange -> Window ->
-    partial agg -> doc-id Exchange -> final agg. Any join or a third
-    shuffle means the keep-first algebra regressed."""
+    """dedup_chunks: pruned scan -> [optional round-robin fan-out of an
+    under-parallel scan] -> chunk-hash Exchange -> Window -> partial agg
+    -> doc-id Exchange -> final agg. Any join or a third KEYED shuffle
+    means the keep-first algebra regressed (the round-robin spread is
+    not part of the algebra — it disappears on multi-split inputs)."""
     import re
 
     plan = _plan(entry.queries()["dedup_chunks"](spark, SF))
     # formatted explain prints each node in the tree AND in the details
     # section — count the "(n) Exchange" detail headers, one per node
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+    # keyed shuffles: the Arguments line of each Exchange detail block
+    assert len(re.findall(r"^Arguments: hashpartitioning", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 3
     assert "Join" not in plan and "Cartesian" not in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read_schema and "text" in read_schema
