@@ -500,6 +500,45 @@ def kmeans_refine(
     return cents
 
 
+def _cell_sum_kernel(centroids: list[list[float]], vec_in: str):
+    """Fused argmax-dot assignment + per-cell component sums for the
+    Lloyd mean step: one BLAS matmul per batch, then a row-order
+    scatter-add into (n_cells x dim) accumulators. Emits one
+    (cell, pos, s, n) row per non-empty cell component per batch —
+    bounded by cells x dim, never by the row count — replacing the
+    posexplode of every vector component AND the Arrow return trip of
+    the vectors themselves. Invalid (NULL/ragged) vectors are masked
+    out, matching the old NULL-cell filter."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    k, d = C.shape
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask, V = _stack_valid(pdf[vec_in], d)
+            if not mask.any():
+                continue
+            cells = (V @ C.T).argmax(axis=1)
+            sums = np.zeros((k, d))
+            cnts = np.zeros(k, dtype="int64")
+            np.add.at(sums, cells, V)  # sequential, row order
+            np.add.at(cnts, cells, 1)
+            nz = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(nz, d).astype("int32"),
+                    "pos": np.tile(np.arange(d, dtype="int32"), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "n": np.repeat(cnts[nz], d),
+                }
+            )
+
+    return kernel
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -533,18 +572,24 @@ def kmeans_lloyd(
         F.col(vec_col).cast("array<double>").alias("cv"),
     ))
     for _ in range(n_iters):
-        assigned = (
-            emb
-            .mapInPandas(
-                _cell_kernel(cents, "neighbor_id", "cv"),
-                "neighbor_id long, cv array<double>, cell int",
-            )
-            .where(F.col("cell").isNotNull())
-        )
+        # assignment AND per-cell partial sums in one Arrow pass: the
+        # kernel emits (cell, pos, s, n) batch subtotals — cells x dim
+        # rows per batch — so vectors never ship back out of Python and
+        # the (n_rows x dim) posexplode disappears. np.add.at scatters
+        # in ROW ORDER, the same order the old per-partition partial
+        # aggregation summed in, so float behavior is unchanged at the
+        # combine structure level; the mean is still rounded HALF_UP 4dp
+        # IN SPARK from (sum, count), exactly as before.
         stats = (
-            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            emb.mapInPandas(
+                _cell_sum_kernel(cents, "cv"),
+                "cell int, pos int, s double, n long",
+            )
             .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x"), 4).alias("m"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.round(F.sum("s") / F.sum("n"), 4).alias("m"),
+                F.sum("n").alias("n"),
+            )
             .collect()
         )
         new = [list(c) for c in cents]

@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
-from pyspark.sql.window import Window
 
 from serialization_agents_spark.functions.normalize import normalize_name_expr
 
@@ -131,11 +130,18 @@ def match_by_check_names(
         .dropDuplicates(["name_norm"])
     )
     hits = exploded.join(broadcast(keys), "name_norm")
-    w = Window.partitionBy(id_col).orderBy("pos")
+    # first-hit-wins = min over (pos, hit) structs: pos is unique per
+    # agent (posexplode), so the struct comparison never reaches the
+    # auth payload — same winner as the old row_number window, but as a
+    # partial-aggregating hash agg with no per-partition sort.
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, (F.col("pos") + 1).alias("matched_variant"), "auth_hit")
+        hits.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("pos"), F.col("auth_hit"))).alias("_b"))
+        .select(
+            id_col,
+            (F.col("_b")["pos"] + 1).alias("matched_variant"),
+            F.col("_b")["auth_hit"].alias("auth_hit"),
+        )
     )
     return agents.join(best, id_col, "left")
 

@@ -30,6 +30,30 @@ import os
 
 from pyspark.sql import DataFrame
 
+# The planned-partition probe (DataFrame -> RDD conversion) costs tens of
+# milliseconds per call; its answer depends only on the logical plan (the
+# file listing is part of it) and the session, so memoize per
+# (application, semanticHash). Bounded: one entry per distinct projected
+# scan per session.
+_PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _planned_partitions(df: DataFrame) -> int:
+    sc = df.sparkSession.sparkContext
+    try:
+        key = (
+            sc.applicationId,
+            df._jdf.queryExecution().logical().semanticHash(),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        _PROBE_CACHE[key] = n
+    return n
+
 
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Fan ``df`` out to ``defaultParallelism * multiplier`` partitions
@@ -45,6 +69,6 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     target = (
         int(env) if env else sc.defaultParallelism * multiplier
     )
-    if df.rdd.getNumPartitions() >= target:
+    if _planned_partitions(df) >= target:
         return df
     return df.repartition(target)
