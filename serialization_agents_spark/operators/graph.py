@@ -361,8 +361,12 @@ def negative_edge_samples(
         .join(bn, "_neg_idx")
         .where((F.col("b_neg") != F.col(a_col)) & (F.col("b_neg") != F.col(b_col)))
     )
+    # canonicalize the STORED edges too: a non-canonical input edge
+    # (b, a) must still veto the proposal (a, b) — without this, the
+    # reverse of a stored edge could leak out as a "negative" (latent
+    # only: every current caller passes canonical a < b edges)
     true_pairs = edges.select(
-        F.col(a_col).alias("_p1"), F.col(b_col).alias("_p2")
+        F.least(a_col, b_col).alias("_p1"), F.greatest(a_col, b_col).alias("_p2")
     )
     return (
         cand.withColumn("_p1", F.least(a_col, "b_neg"))

@@ -387,12 +387,21 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
         spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
         .where(F.col("term") != "")
-        # one token explode feeds BOTH the LM aggregate and the per-doc
-        # scoring join (Catalyst won't reuse an agg subtree across
-        # consumers — same fix as tfidf/bm25's single corpus scan)
+    )
+    # Reduce to per-(doc, term) occurrence counts FIRST: nll is a sum of
+    # per-term integer costs, so sum(cost * n) over distinct (doc, term)
+    # equals the sum over raw occurrences EXACTLY (all integer — no
+    # float order anywhere). The materialized frame that feeds BOTH the
+    # LM aggregate and the scoring join (Catalyst won't reuse an agg
+    # subtree across consumers) shrinks from every token occurrence to
+    # distinct (doc, term) pairs — bounded by docs x vocab — and the
+    # map-side combine absorbs the Zipf head before the shuffle.
+    dt = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tn"))
         .localCheckpoint(eager=False)
     )
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    counts = dt.groupBy("term").agg(F.sum("tn").alias("c"))
     nv = counts.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
@@ -407,9 +416,12 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
         ).cast("long").alias("cost"),
     )
     scored = (
-        tok.join(lm, "term")
+        dt.join(lm, "term")
         .groupBy("doc_id")
-        .agg(F.sum("cost").alias("nll"), F.count(F.lit(1)).alias("n_tokens"))
+        .agg(
+            F.sum(F.col("cost") * F.col("tn")).alias("nll"),
+            F.sum("tn").alias("n_tokens"),
+        )
         .select(
             "doc_id", "n_tokens",
             F.round(F.col("nll").cast("double") / F.col("n_tokens"))

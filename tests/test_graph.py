@@ -316,3 +316,24 @@ def test_negative_samples_deterministic_and_clean(spark):
     again = {(r["a"], r["b"]): r["b_neg"]
              for r in negative_edge_samples(e.repartition(7), ids, 6).collect()}
     assert again == got
+
+
+def test_negative_samples_veto_reversed_stored_edges(spark):
+    """Round-6 fix: a NON-canonical stored edge (b, a) must still veto
+    the canonical proposal (a, b) — the anti-join now canonicalizes the
+    stored side with least/greatest, so no reverse of a real edge can
+    leak out as a negative."""
+    from serialization_agents_spark.operators.graph import negative_edge_samples
+
+    nodes = [f"n{i}" for i in range(6)]
+    # same graph as above but with two edges stored REVERSED
+    edges = [("n1", "n0"), ("n1", "n2"), ("n3", "n2"), ("n0", "n3")]
+    e = spark.createDataFrame(edges, "a string, b string")
+    ids = spark.createDataFrame(
+        [(k, i + 1) for i, k in enumerate(sorted(nodes))],
+        "entity_key string, idx long",
+    )
+    true_set = {tuple(sorted(p)) for p in edges}
+    for r in negative_edge_samples(e, ids, 6).collect():
+        assert r["b_neg"] not in (r["a"], r["b"])
+        assert tuple(sorted((r["a"], r["b_neg"]))) not in true_set
