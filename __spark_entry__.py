@@ -300,8 +300,12 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
     from serialization_agents_spark.operators.merge import merge_entities, score_alt_forms
 
     mentions = _kg_mentions(spark, sf_dir)
+    # the authority feeds THREE broadcast builds inside link_mentions
+    # (viaf keys, lc keys, name-block argmax) — pin it once so the
+    # customer scan + normalize chain computes once, not per subtree
+    auth = _kg_authority(spark, sf_dir).localCheckpoint(eager=False)
     linked, _dead = link_mentions(
-        mentions, _kg_authority(spark, sf_dir), redirects=_kg_redirects(spark, sf_dir)
+        mentions, auth, redirects=_kg_redirects(spark, sf_dir)
     )
     # persist the fan-out frames: `linked` feeds merge + provenance
     # triples; `canonical` feeds 7 union branches in materialize_triples.

@@ -185,10 +185,15 @@ def minhash_candidate_pairs_capped(
     """
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, band_size, hash_fn)
     n_bands = n_hashes // band_size
+    # (id, band) needs no cross-row dedup: signatures carry one row per
+    # doc and every band value hashes its band INDEX in, so a doc's
+    # bands are distinct by construction (and the terminal pair-level
+    # dropDuplicates guards the result regardless) — the old
+    # .dropDuplicates() here cost a full Exchange of the band set.
     bands = sigs.select(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("band"),
-    ).dropDuplicates()
+    )
 
     if max_bucket is not None:
         sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("bucket_size"))
@@ -539,7 +544,12 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(F.col("_hs"), j + 1, w)),
         )
     )
-    return hashed.select("doc_id", F.explode(fps).alias("fp")).distinct()
+    # (doc_id, fp) is globally DISTINCT by construction: `hashed` has one
+    # row per doc and fps is array_distinct per row — a cross-row
+    # .distinct() here would re-shuffle every fingerprint to prove a
+    # property the algebra already guarantees (it cost a full Exchange
+    # of the fingerprint set until round 6).
+    return hashed.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_pairs(
