@@ -98,6 +98,9 @@ def curate_corpus(
         id_col=id_col,
         chunk_words=chunk_words,
         paragraph_delim=paragraph_delim,
+        # the cascade's earlier exchanges already distribute survivors;
+        # the fan-out probe would re-plan the whole cascade subtree
+        fan_out=False,
     ).select(id_col, "total_chunks", "kept_chunks")
 
     return (

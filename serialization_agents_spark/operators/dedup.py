@@ -284,6 +284,7 @@ def chunk_dedup(
     id_col: str = "doc_id",
     chunk_words: int = 12,
     paragraph_delim: str | None = None,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Paragraph/chunk-level exact dedup (the CCNet recipe, Wenzek et al.
     2020 — public): split every document into units, hash each unit, keep
@@ -307,7 +308,13 @@ def chunk_dedup(
     """
     from pyspark.sql.window import Window
 
-    df = spread(df.select(F.col(id_col), F.col(text_col)))
+    # fan_out=False for callers whose input is ALREADY distributed by an
+    # upstream exchange (e.g. the curate cascade's survivor frame): the
+    # spread probe would re-plan the caller's whole subtree just to learn
+    # the repartition is a no-op.
+    df = df.select(F.col(id_col), F.col(text_col))
+    if fan_out:
+        df = spread(df)
     if paragraph_delim is not None:
         chunks = F.filter(
             F.transform(
