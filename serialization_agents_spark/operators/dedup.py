@@ -545,12 +545,31 @@ def winnow_fingerprints(
     # ENTIRE hs transform — O(len^2 * k) hash calls per doc, measured
     # 60x slower at sf0.1. One linear hash pass, then O(len * w) mins.
     hashed = toked.select("doc_id", hs.alias("_hs")).localCheckpoint(eager=False)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("_hs")) - w),
-            lambda j: F.array_min(F.slice(F.col("_hs"), j + 1, w)),
+    # Sliding-window min via two doubling zip_with passes (w = 4):
+    #   a[j] = min(hs[j], hs[j+1]);  b[j] = min(a[j], a[j+2])
+    #         = min(hs[j..j+3])  for j <= L-4
+    # — two linear array passes instead of one slice + array_min
+    # allocation PER WINDOW POSITION. zip_with pads the shorter side
+    # with nulls and least() skips nulls, so the tail entries of a/b are
+    # partial-window junk; the final slice keeps exactly the L-w+1 full
+    # windows. Same mins, same values (least == array_min over the same
+    # 4 elements, longs and md5 hex strings alike).
+    if w != 4:  # generic fallback for non-default windows
+        fps = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_hs")) - w),
+                lambda j: F.array_min(F.slice(F.col("_hs"), j + 1, w)),
+            )
         )
-    )
+    else:
+        hs_c = F.col("_hs")
+        a = F.zip_with(
+            hs_c, F.slice(hs_c, 2, F.size(hs_c) - 1), lambda x, y: F.least(x, y)
+        )
+        b = F.zip_with(
+            a, F.slice(a, 3, F.size(hs_c) - 2), lambda x, y: F.least(x, y)
+        )
+        fps = F.array_distinct(F.slice(b, 1, F.size(hs_c) - (w - 1)))
     # (doc_id, fp) is globally DISTINCT by construction: `hashed` has one
     # row per doc and fps is array_distinct per row — a cross-row
     # .distinct() here would re-shuffle every fingerprint to prove a
