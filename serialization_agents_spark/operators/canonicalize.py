@@ -48,7 +48,14 @@ def build_merge_edges(agents: DataFrame) -> DataFrame:
     viaf_edges = agents.select(
         "entity_key", F.explode("viaf").alias("vid")
     ).select("entity_key", F.concat(F.lit("viaf:"), F.col("vid")).alias("merge_key"))
-    return name_edges.unionByName(viaf_edges).dropDuplicates()
+    # no cross-row dedup: each agent row contributes ONE name edge and
+    # its (already array_distinct) viaf ids under distinct prefixes, so
+    # (entity_key, merge_key) is unique by construction for the
+    # merge_entities output this consumes — and connected components are
+    # multi-edge-insensitive anyway (a duplicate edge could only make a
+    # key look shared, never change a component). The old
+    # .dropDuplicates() cost a full Exchange of the edge set per run.
+    return name_edges.unionByName(viaf_edges)
 
 
 # Below this active-entity count (the size of the label map actually
