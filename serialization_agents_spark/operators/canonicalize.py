@@ -100,14 +100,27 @@ def _connected_components_ex(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
         .select("merge_key")
+        # small by construction (only colliding keys); pinned so the
+        # zero-merge probe below and the semi-join share one computation
+        .localCheckpoint(eager=False)
     )
+    iters = 0
+    # cheap zero-merge probe: no shared key => no active entity. This
+    # answers the common no-collision case from the key aggregate alone,
+    # WITHOUT materializing (and checkpoint-writing) the semi-joined
+    # edge set just to count it.
+    if shared_keys.isEmpty():
+        return (
+            all_nodes.select("entity_key", F.col("entity_key").alias("component")),
+            iters,
+            0,
+        )
     active = edges.join(shared_keys, "merge_key", "left_semi")
 
     e = active.select("entity_key", "merge_key").localCheckpoint()
 
-    iters = 0
     n_active = e.count()
-    if n_active == 0:  # nothing shares a key: all singletons, skip the loop
+    if n_active == 0:  # unreachable given the probe; kept as a guard
         return (
             all_nodes.select("entity_key", F.col("entity_key").alias("component")),
             iters,
