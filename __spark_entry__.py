@@ -310,7 +310,13 @@ def _kg_canonical(spark: SparkSession, sf_dir: str):
     # persist the fan-out frames: `linked` feeds merge + provenance
     # triples; `canonical` feeds 7 union branches in materialize_triples.
     linked = linked.persist()
-    agents = merge_entities(linked)
+    # lazily pin the merged agents too: canonicalize materializes them
+    # anyway (its own eager checkpoint rides this one), and the direct
+    # kg_agents/kg_enumerate consumers then read the pinned rows instead
+    # of re-running the merge aggregation off `linked` per query. The
+    # cache drop in kg_cache_clear releases the block via ContextCleaner
+    # like every other pipeline checkpoint.
+    agents = merge_entities(linked).localCheckpoint(eager=False)
     canonical, _iters = canonicalize_agents(agents)
     # X2/X3 altForm scores, entity-scale — same stage order as
     # plans/pipeline.py:run_pipeline
